@@ -1,0 +1,140 @@
+package graft.driver
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.core.Crawl
+import graft.frontier.{BloomSeen, FrontierEntry, Snapshots}
+import graft.round.CrawlRound
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-side fixpoint loop replacing the reference's Twisted reactor
+  * (SURVEY.md §3.1 step 4): bounded iterative BFS = batch rounds with a
+  * global barrier, NOT Structured Streaming.
+  *
+  * Every round commits an Iceberg-style snapshot (frontier, seen delta,
+  * item deltas, cumulative Bloom, manifest-with-lineage). Reading the next
+  * round's frontier back from the committed snapshot both breaks Spark
+  * lineage (no ever-growing plan across iterations) and makes
+  * cancel ≡ stop-after-round and resume ≡ load-latest-snapshot (T6/T7).
+  */
+object CrawlLoop {
+
+  final case class CrawlSummary(rounds: Int, totalFetched: Long,
+                                totalErrors: Long, totalDeduped: Long,
+                                seenCount: Long)
+
+  val CancelMarker = "CANCEL"
+
+  /** Expected total URL count used to size the Bloom filter. At the 10^10
+    * design point a single 1%-fpp Bloom is ~12 GB — too big for one
+    * broadcast; the production layout shards the seen set by url_hash
+    * range with one Bloom per shard and probes the matching shard
+    * (documented in BASELINE.md); locally one filter suffices. */
+  def run(spark: SparkSession,
+          pages: DataFrame,
+          seedUrls: Seq[String],
+          cfg: Crawl.CrawlConfig,
+          warehouse: String,
+          expectedUrls: Long = 1L << 20,
+          resume: Boolean = false): CrawlSummary = {
+    import spark.implicits._
+
+    val startRound: Int = Snapshots.latestCommittedRound(warehouse) match {
+      case Some(r) if resume => r + 1
+      case Some(_) =>
+        sys.error(s"warehouse $warehouse already has snapshots; pass resume=true")
+      case None =>
+        // snapshot 0: seeds only (mirrors start_urls, PostSpider.py:40)
+        val epoch = new Timestamp(0L)
+        val seedEntries = seedUrls.map(u =>
+          FrontierEntry.fromUrl(graft.core.UrlCanon.canonicalize(u), 0, 0, "", 0, epoch))
+        val seedDs = spark.createDataset(seedEntries)
+        seedDs.write.mode("overwrite")
+          .parquet(Snapshots.tablePath(warehouse, 0, "frontier"))
+        seedDs.select("url_hash").write.mode("overwrite")
+          .parquet(Snapshots.tablePath(warehouse, 0, "seen_delta"))
+        val bloom = BloomSeen.empty(expectedUrls)
+        seedEntries.foreach(e => BloomSeen.put(bloom, e.url_hash))
+        Snapshots.writeBloom(warehouse, 0, bloom)
+        Snapshots.writeManifest(warehouse, Snapshots.Manifest(0, -1,
+          seedEntries.size.toLong, seedEntries.size.toLong, 0, 0, 0, Nil))
+        1
+    }
+
+    var round = startRound
+    var totalFetched = 0L
+    var totalErrors = 0L
+    var totalDeduped = 0L
+    var frontierCount = -1L
+
+    while (frontierCount != 0L && round <= cfg.maxRounds &&
+      !Files.exists(Paths.get(warehouse, CancelMarker))) {
+      val prev = round - 1
+      val frontier = spark.read
+        .parquet(Snapshots.tablePath(warehouse, prev, "frontier"))
+        .as[FrontierEntry]
+      val seen = Snapshots.readTable(spark, warehouse, "seen_delta", prev)
+        .getOrElse(spark.emptyDataset[Long].toDF("url_hash"))
+      val bloom = Snapshots.readBloom(warehouse, prev)
+
+      val res = CrawlRound.run(spark, frontier, pages, seen, bloom, cfg, round)
+
+      // commit: data dirs first, manifest last (the manifest IS the commit)
+      res.newFrontier.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "frontier"))
+      res.seenDelta.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "seen_delta"))
+      res.posts.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "posts"))
+      res.replies.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "replies"))
+      res.comments.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "comments"))
+      res.tiebaNames.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "tieba_names"))
+      res.fetchLog.write.mode("overwrite")
+        .parquet(Snapshots.tablePath(warehouse, round, "fetch_log"))
+
+      // incremental Bloom merge (north_rule "merge deltas at round
+      // boundaries"): build this round's delta Bloom DISTRIBUTED with the
+      // cumulative filter's geometry (map-side partial build + tree merge
+      // inside the Aggregator), then a single bitwise OR on the driver —
+      // the driver never sees raw hashes, only two bitsets.
+      val deltaHashes = spark.read
+        .parquet(Snapshots.tablePath(warehouse, round, "seen_delta"))
+      val bloomBuild = BloomSeen.bloomBuildUdaf(expectedUrls)
+      val deltaBloomRow = deltaHashes
+        .agg(bloomBuild(org.apache.spark.sql.functions.col("url_hash"))).collect()
+      val merged =
+        if (deltaBloomRow.isEmpty || deltaBloomRow(0).isNullAt(0)) bloom
+        else BloomSeen.mergeInto(bloom, deltaBloomRow(0).getAs[Array[Byte]](0))
+      Snapshots.writeBloom(warehouse, round, merged)
+
+      val committedFrontier = spark.read
+        .parquet(Snapshots.tablePath(warehouse, round, "frontier"))
+      frontierCount = committedFrontier.count()
+      val seenDeltaCount = deltaHashes.count()
+
+      Snapshots.writeManifest(warehouse, Snapshots.Manifest(round, prev,
+        frontierCount, seenDeltaCount, res.fetchedCount, res.errorCount,
+        res.dedupedCount, res.lineage))
+
+      totalFetched += res.fetchedCount
+      totalErrors += res.errorCount
+      totalDeduped += res.dedupedCount
+      res.cleanup()
+      round += 1
+    }
+
+    val lastRound = round - 1
+    val seenCount = Snapshots.readTable(spark, warehouse, "seen_delta", lastRound)
+      .map(_.count()).getOrElse(0L)
+    CrawlSummary(lastRound, totalFetched, totalErrors, totalDeduped, seenCount)
+  }
+
+  /** Final item tables (union of per-round deltas at the latest snapshot). */
+  def outputs(spark: SparkSession, warehouse: String): Map[String, DataFrame] =
+    Snapshots.Tables.flatMap(t =>
+      Snapshots.readLatestTable(spark, warehouse, t).map(t -> _)).toMap
+}

@@ -1,0 +1,118 @@
+package graft.frontier
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot layout over Parquet (SURVEY.md §7.0: no Iceberg
+  * jars ship in this sandbox, so we implement the same *semantics* — atomic
+  * snapshot commit, parent lineage, time-travel to round k, resumability —
+  * as a directory protocol; swapping in real Iceberg is a sink change):
+  *
+  * {{{
+  * warehouse/
+  *   snap-00000/
+  *     frontier/      pending FrontierEntry rows (Parquet)
+  *     seen_delta/    url hashes first enqueued this round (Parquet)
+  *     posts/ replies/ comments/ tieba_names/ fetch_log/   per-round item deltas
+  *     bloom.bin      cumulative Bloom bytes as of this round
+  *     manifest.json  COMMIT MARKER — written last; a snapshot without a
+  *                    manifest is invisible (aborted round ⇒ clean resume)
+  * }}}
+  *
+  * Item tables and the seen set are stored as per-round DELTAS: the full
+  * table at round k = union of deltas 0..k. At the 10^10-URL design point
+  * this keeps each commit O(round output), never O(total crawl state).
+  */
+object Snapshots {
+
+  val Tables: Seq[String] =
+    Seq("frontier", "seen_delta", "posts", "replies", "comments",
+      "tieba_names", "fetch_log")
+
+  def snapDir(warehouse: String, round: Int): String =
+    f"$warehouse/snap-$round%05d"
+
+  final case class Manifest(round: Int, parent: Int, frontierCount: Long,
+                            seenDeltaCount: Long, fetched: Long, errors: Long,
+                            deduped: Long, lineage: Seq[PartitionLineage])
+
+  def writeManifest(warehouse: String, m: Manifest): Unit = {
+    val lineageJson = m.lineage.map(l =>
+      s"""{"round":${l.round},"partition_id":${l.partition_id},"fetched":${l.fetched},"deduped":${l.deduped},"errors":${l.errors}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"round":${m.round},"parent":${m.parent},"frontier_count":${m.frontierCount},"seen_delta_count":${m.seenDeltaCount},"fetched":${m.fetched},"errors":${m.errors},"deduped":${m.deduped},"lineage":$lineageJson}"""
+    val dir = Paths.get(snapDir(warehouse, m.round))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("manifest.json.tmp")
+    Files.writeString(tmp, json)
+    // atomic publish: the rename IS the commit
+    Files.move(tmp, dir.resolve("manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def extractLong(json: String, key: String): Long = {
+    val re = ("\"" + key + "\":(-?\\d+)").r
+    re.findFirstMatchIn(json).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"manifest missing $key"))
+  }
+
+  def readManifest(warehouse: String, round: Int): Option[Manifest] = {
+    val p = Paths.get(snapDir(warehouse, round), "manifest.json")
+    if (!Files.exists(p)) None
+    else {
+      val json = Files.readString(p)
+      val lineageRe =
+        """\{"round":(\d+),"partition_id":(-?\d+),"fetched":(\d+),"deduped":(\d+),"errors":(\d+)\}""".r
+      val lineage = lineageRe.findAllMatchIn(json.dropWhile(_ != '[')).map(m =>
+        PartitionLineage(m.group(1).toInt, m.group(2).toInt, m.group(3).toLong,
+          m.group(4).toLong, m.group(5).toLong)).toSeq
+      Some(Manifest(extractLong(json, "round").toInt,
+        extractLong(json, "parent").toInt,
+        extractLong(json, "frontier_count"),
+        extractLong(json, "seen_delta_count"), extractLong(json, "fetched"),
+        extractLong(json, "errors"), extractLong(json, "deduped"), lineage))
+    }
+  }
+
+  /** Highest committed round, i.e. max snap-k having a manifest. */
+  def latestCommittedRound(warehouse: String): Option[Int] = {
+    val w = Paths.get(warehouse)
+    if (!Files.exists(w)) return None
+    Files.list(w).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snap-") => s.stripPrefix("snap-").toInt }
+      .filter(r => Files.exists(Paths.get(snapDir(warehouse, r), "manifest.json")))
+      .maxOption
+  }
+
+  def writeBloom(warehouse: String, round: Int, bloom: Array[Byte]): Unit = {
+    val dir = Paths.get(snapDir(warehouse, round))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("bloom.bin"), bloom)
+  }
+
+  def readBloom(warehouse: String, round: Int): Array[Byte] =
+    Files.readAllBytes(Paths.get(snapDir(warehouse, round), "bloom.bin"))
+
+  def tablePath(warehouse: String, round: Int, table: String): String =
+    s"${snapDir(warehouse, round)}/$table"
+
+  private def existingDeltaPaths(warehouse: String, table: String,
+                                 upToRound: Int): Seq[String] =
+    (0 to upToRound).map(r => tablePath(warehouse, r, table))
+      .filter(p => Files.exists(Paths.get(p)))
+
+  /** Full logical table at round k = union of committed deltas 0..k. */
+  def readTable(spark: SparkSession, warehouse: String, table: String,
+                upToRound: Int): Option[DataFrame] = {
+    val paths = existingDeltaPaths(warehouse, table, upToRound)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  def readLatestTable(spark: SparkSession, warehouse: String,
+                      table: String): Option[DataFrame] =
+    latestCommittedRound(warehouse)
+      .flatMap(r => readTable(spark, warehouse, table, r))
+}
