@@ -1,13 +1,516 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.TiebaAnalytics
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2 operator inventory, one runnable query per operator,
-  * evaluated over the driver's testdata tables and cross-checked against
-  * DuckDB via [[Verify]]. Filled in incrementally; keys stable. */
+/** SURVEY.md §2 operator inventory as runnable queries over the driver's
+  * testdata tables, each with (where SQL-expressible) a DuckDB oracle —
+  * the driver's correctness gate. Naming keys map to SURVEY §2 operator
+  * ids. Aliases in Spark code and SQL are kept identical (the driver's
+  * compare sorts columns by name).
+  */
 object Queries {
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
-  def oracle: Map[String, String] = Map.empty
+  /** documents reshaped as a replies-like table for the reference's
+    * analytics operators. */
+  private def repliesLike(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").cast("string").as("post_id"),
+      col("doc_id").cast("string").as("reply_id"),
+      col("text").as("content"),
+      lit("0").as("comment_num"))
+
+  private val ContainTerms = Seq("spark", "merge", "window", "customer")
+
+  /** documents ∪ perturbed near-copies (first token dropped), so near-dup
+    * operators always have true positives to find. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        // drop the first word: high n-gram Jaccard, not exact-equal
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionByName(perturbed)
+  }
+
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val perturbed = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    e.unionByName(perturbed)
+  }
+
+  // ======================================================================
+  // queries with DuckDB oracles
+  // ======================================================================
+
+  private val oracleBacked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // A1: grouped count
+    "q_a1_grouped_count" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt")),
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type")),
+
+    // A1/A2/P9/O3: token explode → grouped count → top-10 (det. tiebreak)
+    "q_a2_token_topk" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 1)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(10),
+      """SELECT tok, cnt FROM (
+        |  SELECT t.tok AS tok, count(*) AS cnt
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 1 GROUP BY t.tok)
+        |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin)),
+
+    // the reference's REAL keyword pipeline: per-doc top-5 keywords
+    // (freq desc, token asc), len>1 filter, global top-10 (A1+A2+P9+O3)
+    "q_a2_keyword_top10" -> ((
+      (s: SparkSession, dir: String) =>
+        TiebaAnalytics.keywordTop10(repliesLike(s, dir)),
+      """WITH tokcnt AS (
+        |  SELECT d.doc_id, t.tok, count(*) AS c
+        |  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0 GROUP BY d.doc_id, t.tok),
+        |top5 AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, tok,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+        |    FROM tokcnt) WHERE rn <= 5)
+        |SELECT keyword, cnt FROM (
+        |  SELECT tok AS keyword, count(*) AS cnt FROM top5
+        |  WHERE length(tok) > 1 GROUP BY tok)
+        |ORDER BY cnt DESC, keyword LIMIT 10""".stripMargin)),
+
+    // A3: bucket counts (integer thresholds)
+    "q_a3_bucket_counts" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(when(col("n_chars") > 400, "positive")
+            .when(col("n_chars") < 150, "negative")
+            .otherwise("neutral").as("label"))
+          .groupBy(col("label")).agg(count(lit(1)).as("cnt")),
+      """SELECT CASE WHEN n_chars > 400 THEN 'positive'
+        |            WHEN n_chars < 150 THEN 'negative'
+        |            ELSE 'neutral' END AS label, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // A6/U1: per-user distinct-set aggregation (canonical string form)
+    "q_a6_collect_set" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").groupBy(col("user_id"))
+          .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("types")),
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // A7: order-sensitive grouped concat (pinned total order)
+    "q_a7_ordered_concat" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string"))).as("ids")),
+      """SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // J1: parent-child equi-join + grouped sum (integral doubles: exact)
+    "q_j1_parent_child" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("cnt")),
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // J2/J3: substring-containment theta-join, small side broadcast
+    "q_j2_containment_join" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val terms = ContainTerms.toDF("term")
+        broadcast(terms).join(t(s, dir, "documents"),
+            col("text").contains(col("term")), "left")
+          .groupBy(col("term")).agg(count(col("doc_id")).as("cnt"))
+      },
+      s"""SELECT t.term, count(d.doc_id) AS cnt
+         |FROM (VALUES ${ContainTerms.map(x => s"('$x')").mkString(", ")}) t(term)
+         |LEFT JOIN documents d ON d.text LIKE '%' || t.term || '%'
+         |GROUP BY t.term""".stripMargin)),
+
+    // J3/A8/U2/O6: the keyword-frequency search operator itself
+    "q_j3_keyword_search" -> ((
+      (s: SparkSession, dir: String) =>
+        TiebaAnalytics.keywordFrequency(repliesLike(s, dir),
+          Seq("spark", "spark", "scan", "zebra", "row")),
+      """SELECT t.term, count(d.doc_id) AS cnt
+        |FROM (VALUES ('spark'), ('scan'), ('zebra'), ('row')) t(term)
+        |LEFT JOIN documents d ON d.text LIKE '%' || t.term || '%'
+        |GROUP BY t.term""".stripMargin)),
+
+    // J5: URL-seen anti-join shape
+    "q_j5_seen_antijoin" -> ((
+      (s: SparkSession, dir: String) => {
+        val seen = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey"))
+        t(s, dir, "customer").join(seen, col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      },
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_totalprice > 150000 AND o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin)),
+
+    // J6: fetch-as-left-join with miss rows
+    "q_j6_fetch_left_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val pagesLike = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_name"))
+        t(s, dir, "orders").join(pagesLike,
+            col("o_custkey") === col("c_custkey"), "left")
+          .select(when(col("c_name").isNull, "miss").otherwise("fetched")
+            .as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("cnt"))
+      },
+      """SELECT CASE WHEN c.c_name IS NULL THEN 'miss' ELSE 'fetched' END AS status,
+        |       count(*) AS cnt
+        |FROM orders o LEFT JOIN (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_acctbal > 0) c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin)),
+
+    // S7/J4/A5: incremental count upsert (merge-agg of existing ⊎ delta)
+    "q_s7_count_upsert" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val split = "2024-01-15"
+        val existing = ev.filter(col("ts") < lit(split).cast("timestamp"))
+          .groupBy(col("event_type").as("tieba")).agg(count(lit(1)).as("cnt"))
+        val delta = ev.filter(col("ts") >= lit(split).cast("timestamp"))
+          .groupBy(col("event_type").as("tieba")).agg(count(lit(1)).as("cnt"))
+        TiebaAnalytics.countUpsert(existing, delta)
+      },
+      """SELECT tieba, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        |  SELECT event_type AS tieba, count(*) AS cnt FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type AS tieba, count(*) AS cnt FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1)
+        |GROUP BY tieba""".stripMargin)),
+
+    // W1: the politeness window — first-k per group in a total order
+    "q_w1_host_budget_rank" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events").withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("event_id"), col("rn"))
+      },
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin)),
+
+    // W3: top-n per group
+    "q_w3_topn_per_group" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, dir, "part").withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("p_brand"), col("p_partkey"), col("rn"))
+      },
+      """SELECT p_brand, p_partkey, rn FROM (
+        |  SELECT p_brand, p_partkey, row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 2""".stripMargin)),
+
+    // O1/O2: sorted top-20 display slice (int-cast sort key, pinned ties)
+    "q_o1_top20_sorted" -> ((
+      (s: SparkSession, dir: String) =>
+        TiebaAnalytics.topForums(
+          t(s, dir, "documents").groupBy(col("source").as("tieba"))
+            .agg(count(lit(1)).as("cnt")), top = 20),
+      """SELECT source AS tieba, count(*) AS cnt FROM documents GROUP BY source
+        |ORDER BY CAST(count(*) AS INT) DESC, source LIMIT 20""".stripMargin)),
+
+    // U1: union + distinct
+    "q_u1_union_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct(),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin)),
+
+    // U3: dedup via distinct
+    "q_u3_dedup_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+          .distinct(),
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // P5/P6: date-range OR-gate pruning
+    "q_p5_date_or_gate" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").filter(
+            (col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp")) ||
+              (col("l_quantity") >= 45))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt")),
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE (l_shipdate >= TIMESTAMP '1996-01-01' AND
+        |       l_shipdate < TIMESTAMP '1996-04-01') OR l_quantity >= 45
+        |GROUP BY l_returnflag""".stripMargin)),
+
+    // P7/P12: null + blank filters
+    "q_p7_p12_null_blank" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").na.drop(Seq("text"))
+          .filter(trim(col("text")) =!= "")
+          .groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE text IS NOT NULL AND trim(text) <> '' GROUP BY lang""".stripMargin)),
+
+    // F1-F7/F12: string/cast function battery
+    "q_f_string_funcs" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          translate(col("p_type"), "ae", "xy").as("type_tr"),
+          concat_ws("_", col("p_brand"), col("p_type")).as("brand_type"),
+          split(col("p_type"), " ").getItem(0).as("type_head"),
+          col("p_size").cast("long").as("size_long")),
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        |  substring(p_type, 1, 5) AS type5,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  translate(p_type, 'ae', 'xy') AS type_tr,
+        |  concat_ws('_', p_brand, p_type) AS brand_type,
+        |  string_split(p_type, ' ')[1] AS type_head,
+        |  CAST(p_size AS BIGINT) AS size_long
+        |FROM part""".stripMargin)),
+
+    // F11: date functions (trunc / add_months / format)
+    "q_f11_date_funcs" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").select(
+            date_trunc("hour", col("ts")).as("hour_start"),
+            date_format(add_months(col("ts").cast("date"), 1), "yyyy-MM-dd")
+              .as("next_month_day"),
+            date_format(col("ts"), "yyyy-MM").as("month_str"))
+          .groupBy(col("hour_start"), col("next_month_day"), col("month_str"))
+          .agg(count(lit(1)).as("cnt")),
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |  strftime(CAST(ts AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_day,
+        |  strftime(ts, '%Y-%m') AS month_str, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // F13: embedded-JSON field extraction
+    "q_f13_json_extract" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .select((get_json_object(col("props"), "$.k").cast("long") % 10)
+            .as("k_bucket"))
+          .groupBy(col("k_bucket")).agg(count(lit(1)).as("cnt")),
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // F8: chained regex HTML-clean (the weibo chain shape)
+    "q_f8_regex_clean" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(
+              concat(lit("<span class=\"x\">"), col("text"),
+                lit("</span><br/><img src=\"t.png\">")),
+              "<br\\s*/>", ""),
+            "<img(.*?)>", ""),
+          "</?span[^>]*>", "").as("cleaned")),
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  '<span class="x">' || text || '</span><br/><img src="t.png">',
+        |  '<br\s*/>', '', 'g'), '<img(.*?)>', '', 'g'),
+        |  '</?span[^>]*>', '', 'g') AS cleaned
+        |FROM documents""".stripMargin)),
+
+    // exact dedup: content-hash groupBy (md5 for oracle comparability)
+    "q_dedup_exact" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count")),
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // language-ID heuristic (shared integer formula)
+    "q_text_langid" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_guess"))
+          .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("cnt")),
+      """SELECT lang,
+        |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 4 > length(text) THEN 'zh'
+        |       WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 > length(text) THEN 'en'
+        |       ELSE 'und' END AS lang_guess,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // token counting: whitespace + BPE-ish subwords (integer-exact)
+    "q_text_token_counts" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.subwordCount(col("text")).as("subwords"),
+          length(col("text")).as("n_chars_check")),
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[\\x{4e00}-\\x{9fff}]|[^A-Za-z0-9\\x{4e00}-\\x{9fff}\\s]')) AS subwords,
+         |  length(text) AS n_chars_check
+         |FROM documents""".stripMargin)),
+
+    // quality scoring: integer features + bucket
+    "q_text_quality" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.wsTokenCount(col("text")).as("n_tokens"),
+            TextOps.punctCount(col("text")).as("n_punct"))
+        d.select(col("doc_id"),
+          TextOps.qualityBucket(col("n_chars"), col("n_tokens"),
+            col("n_punct")).as("quality"))
+          .groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+      },
+      """SELECT CASE WHEN n_chars < 100 THEN 'too_short'
+        |            WHEN n_punct * 5 > n_chars THEN 'punct_heavy'
+        |            WHEN n_tokens < 10 THEN 'low_token'
+        |            ELSE 'ok' END AS quality, count(*) AS cnt
+        |FROM (SELECT n_chars,
+        |        len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+        |        length(text) - length(regexp_replace(text, '[[:punct:]。，！？]', '', 'g')) AS n_punct
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin))
+  )
+
+  // ======================================================================
+  // rows-only queries (non-SQL-expressible kernels; ScalaTest-verified)
+  // ======================================================================
+
+  private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash+LSH near-dup pairs (perturbed copies guarantee positives)
+    "q_dedup_minhash_lsh" -> ((s: SparkSession, dir: String) =>
+      Dedup.minHashLsh(docsWithNearDups(s, dir), "text", "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5)),
+
+    // SimHash near-dup pairs
+    "q_dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.simHashPairs(docsWithNearDups(s, dir), "text", "doc_id",
+        maxHamming = 3)),
+
+    // exact n-gram Jaccard (brute baseline on a slice)
+    "q_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, dir).filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", n = 3, threshold = 0.5)),
+
+    // embedding-cosine near-dup via hyperplane LSH buckets
+    "q_dedup_embed_cosine" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDup(embWithNearDups(s, dir), "embedding", "vec_id",
+        numPlanes = 8, threshold = 0.95)),
+
+    // ANN: brute-force cosine top-5 (exactness baseline)
+    "q_ann_brute_topk" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", k = 5).drop("cos")
+    }),
+
+    // ANN: LSH-bucketed top-5 (scale path)
+    "q_ann_lsh_topk" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", k = 5, numPlanes = 4, numTables = 8).drop("cos")
+    }),
+
+    // multimodal plumbing: binary payloads → per-partition feature batch
+    "q_multimodal_features" -> ((s: SparkSession, dir: String) => {
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
+      feats.toDF().groupBy(col("kind"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_frames")).as("total_frames"))
+    }),
+
+    // sentiment buckets via the deterministic scorer UDF (F15/A3)
+    "q_sentiment_buckets" -> ((s: SparkSession, dir: String) =>
+      TiebaAnalytics.sentimentCounts(repliesLike(s, dir))),
+
+    // corpus summary + containment join back to sources (F17/J2/O4)
+    "q_summary_containment" -> ((s: SparkSession, dir: String) =>
+      TiebaAnalytics.summaryWithSources(
+        repliesLike(s, dir).filter(col("post_id").cast("long") < 60))),
+
+    // document fingerprint (rolling hash)
+    "q_text_fingerprint" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprintUdf(col("text")).as("fp"))
+        .groupBy((col("fp") % 16).as("fp_bucket"))
+        .agg(count(lit(1)).as("cnt")))
+  )
+
+  // streaming: tumbling-window agg via Structured Streaming, oracle = the
+  // equivalent batch aggregation (complete mode over bounded input)
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = "stream_out_" + math.abs(path.hashCode).toString
+    // FileStreamSource needs a directory: stage a symlink to the file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      // parquet NTZ timestamps → session-TZ (UTC) timestamps for watermarking
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  private val streaming: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_t1_stream_window_agg" -> ((
+      (s: SparkSession, dir: String) => streamWindowAgg(s, dir),
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    oracleBacked.map { case (k, (f, _)) => k -> f } ++
+      streaming.map { case (k, (f, _)) => k -> f } ++ rowsOnly
+
+  def oracle: Map[String, String] =
+    (oracleBacked ++ streaming).map { case (k, (_, sql)) => k -> sql }
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.core.XxHash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a web-scale training-data pipeline, each in
+  * its Spark-native shape:
+  *
+  *  - exact:      hash-groupBy, one shuffle on the content hash
+  *  - MinHash+LSH: shingle → k-perm signature → band buckets → candidate
+  *                 pairs ONLY within buckets (the full O(n²) pair space is
+  *                 never materialized) → exact-Jaccard verification
+  *  - SimHash:    64-bit signature; near-dup candidates via 4×16-bit block
+  *                 tables (any pair within Hamming distance 3 shares ≥1
+  *                 block — pigeonhole), verified by popcount
+  *  - n-gram Jaccard: exact verification kernel shared with MinHash
+  *  - embedding cosine: random-hyperplane LSH buckets → in-bucket
+  *                 verification (brute-force kernel in Similarity.scala)
+  *
+  * All signature kernels are pure Scala (unit-testable, no Spark), wrapped
+  * in UDFs; the *relational* work (bucketing, joins, dedup picks) is
+  * Column-API and shuffles only on bucket keys.
+  */
+object Dedup {
+
+  // ---- pure kernels -------------------------------------------------------
+
+  /** Word shingles (n-grams) of a whitespace-tokenized text. */
+  def shingles(text: String, n: Int): Vector[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Vector(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toVector
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  /** k-permutation MinHash signature over shingle hashes: permutation i is
+    * xxhash64 with seed i (deterministic, no stored permutation tables). */
+  def minHashSignature(sh: Iterable[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = XxHash64.hashString(s)
+      var i = 0
+      while (i < k) {
+        val h = XxHash64.hashLong(base, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band key for LSH: hash of rows r*b..r*b+r-1 of the signature. */
+  def bandHash(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+    var h = band.toLong * 0x9e3779b97f4a7c15L
+    var i = band * rowsPerBand
+    val end = math.min(sig.length, i + rowsPerBand)
+    while (i < end) { h = XxHash64.hashLong(sig(i), h); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (frequency-weighted). */
+  def simHash(text: String): Long = {
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    text.split("\\s+").foreach(t => if (t.nonEmpty)
+      counts.update(t, counts.getOrElse(t, 0) + 1))
+    val acc = new Array[Int](64)
+    counts.foreach { case (tok, w) =>
+      val h = XxHash64.hashString(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- Spark pipelines ----------------------------------------------------
+
+  /** Exact dedup: keep the minimum-id row per distinct content hash.
+    * One shuffle on the 64-bit content hash, never on the text itself. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextOps.fingerprintUdf(col(textCol))
+    df.withColumn("content_hash", fp)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+  }
+
+  private def shinglesUdf(n: Int) = udf((t: String) => shingles(t, n))
+
+  def minHashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => minHashSignature(shingles(t, 3), k))
+
+  /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard) with
+    * id_a < id_b and exact n-gram Jaccard ≥ threshold.
+    *
+    * Shuffle profile: one shuffle keyed on (band, band_hash); candidate
+    * join is a self-equi-join on the bucket key (bounded bucket sizes at
+    * web scale because signatures of non-near-dups collide with
+    * probability ~s^r per band); exact verification only on candidates.
+    */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val sigUdf = minHashUdf(numHashes)
+    val bandUdf = udf((sig: Seq[Long], b: Int) => bandHash(sig.toArray, b, rows))
+    val shUdf = shinglesUdf(3)
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", sigUdf(col("text")))
+      .withColumn("sh", shUdf(col("text")))
+    val banded = withSig.select(col("id"), col("sh"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bh", bandUdf(col("sig"), col("band")))
+      .select(col("id"), col("sh"), col("band"), col("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val jacUdf = udf((x: Seq[String], y: Seq[String]) => jaccard(x.toSet, y.toSet))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => simHash(t))
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
+    * 4 blocks by pigeonhole): block tables → candidates sharing any
+    * 16-bit block → popcount verification. */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simHashUdf(col(textCol)).as("sim"))
+    val blocks = withSig.select(col("id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blk_val",
+        expr("(sim >> (blk * 16)) & 65535"))
+    val a = blocks.select(col("blk"), col("blk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = blocks.select(col("blk"), col("blk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    val hammingUdf = udf((x: Long, y: Long) => hamming(x, y))
+    a.join(b, Seq("blk", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", hammingUdf(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs from a cheap length-bucket
+    * blocking (the brute-force baseline for MinHash recall measurement). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shUdf = shinglesUdf(n)
+    val withSh = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val jacUdf = udf((x: Seq[String], y: Seq[String]) => jaccard(x.toSet, y.toSet))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH (deterministic seeded
+    * planes) buckets, cosine-verified in-bucket. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       numPlanes: Int = 12,
+                       threshold: Double = 0.95): DataFrame = {
+    val sketch = udf((v: Seq[Float]) => Similarity.hyperplaneSketch(v.toArray, numPlanes))
+    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+      Similarity.cosine(x.toArray, y.toArray))
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sketch(col("v")))
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosUdf(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

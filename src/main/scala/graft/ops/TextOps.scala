@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.core.XxHash64
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators a large-scale training-data pipeline needs,
+  * expressed Spark-first: built-in codegen'd `functions._` wherever the
+  * semantics allow (language-ID, quality, token counts are pure column
+  * algebra — they run inside WholeStageCodegen, no UDF), pure-Scala
+  * helpers + UDFs only for the genuinely custom kernels (rolling-hash
+  * fingerprint, MinHash/SimHash signatures in Dedup.scala).
+  */
+object TextOps {
+
+  // ---- language ID (n-gram-free heuristic, column algebra) ---------------
+
+  /** CJK-character count via codegen'd regexp_replace — no UDF. */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+
+  def asciiLetterCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  /** Heuristic language ID: zh if CJK dominates, en if ASCII letters
+    * dominate, und otherwise. Deterministic, SQL-expressible (DuckDB
+    * oracle uses the same formula). */
+  def langId(text: Column): Column = {
+    val cjk = cjkCount(text)
+    val asc = asciiLetterCount(text)
+    val total = length(text)
+    when(cjk * 4 > total, "zh")
+      .when(asc * 2 > total, "en")
+      .otherwise("und")
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+
+  /** Whitespace token count without UDF: exact count of space-separated
+    * non-empty tokens. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs + digit runs + single CJK chars +
+    * single non-space symbols, counted with codegen'd regexp_count. */
+  val SubwordPattern =
+    "[A-Za-z]+|[0-9]+|[\\u4e00-\\u9fff]|[^A-Za-z0-9\\u4e00-\\u9fff\\s]"
+
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit(SubwordPattern))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}。，！？]", ""))
+
+  private val StopWords =
+    Seq("the", "a", "of", "to", "and", "is", "in", "的", "了", "是")
+
+  def stopwordCount(text: Column): Column = {
+    val toks = filter(split(lower(text), " "), t => length(t) > 0)
+    size(filter(toks, t => t.isin(StopWords: _*)))
+  }
+
+  /** Integer quality features + a bucket — exact integer thresholds so the
+    * DuckDB oracle hashes identically (no float drift). */
+  def qualityBucket(nChars: Column, nTokens: Column, nPunct: Column): Column =
+    when(nChars < 100, "too_short")
+      .when(nPunct * 5 > nChars, "punct_heavy")
+      .when(nTokens < 10, "low_token")
+      .otherwise("ok")
+
+  // ---- document fingerprint (rolling hash, custom kernel) ---------------
+
+  /** Polynomial rolling hash (Rabin–Karp style) over UTF-8 bytes: a
+    * 64-bit content fingerprint that is cheap, incremental and
+    * order-sensitive — unlike a bag-of-words hash it distinguishes
+    * permutations. */
+  def rollingFingerprint(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      i += 1
+    }
+    // final avalanche for bit dispersion
+    XxHash64.hashLong(h)
+  }
+
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => rollingFingerprint(s))
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup finds injected exact copies") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val copies = base.filter($"doc_id" < 5)
+      .select(($"doc_id" + 50000).as("doc_id"), $"text")
+    val res = Dedup.exact(base.unionByName(copies), "text", "doc_id")
+    assert(res.filter($"dup_count" === 2).count() == 5)
+    assert(res.filter($"dup_count" === 1).count() == docs.count() - 5)
+    // keeper is the min id
+    assert(res.filter($"dup_count" === 2)
+      .filter($"keeper_id" >= 50000).count() == 0)
+  }
+
+  test("minhash-LSH finds near-dup pairs; survivors verified by true jaccard") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val res = Dedup.minHashLsh(base.unionByName(near), "text", "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5).collect()
+    val planted = res.filter(r => r.getLong(1) - r.getLong(0) == 100000)
+    assert(planted.length >= 8, s"found ${planted.length}/10 planted pairs")
+    // every reported pair passed exact verification
+    assert(res.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash pairs within hamming ≤ 3 — planted dups found, verified") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val res = Dedup.simHashPairs(base.unionByName(near), "text", "doc_id",
+      maxHamming = 3).collect()
+    assert(res.forall(_.getInt(2) <= 3))
+    val planted = res.count(r => r.getLong(1) - r.getLong(0) == 100000)
+    assert(planted >= 5, s"found $planted/10 planted (hamming≤3) pairs")
+    // pure kernel sanity: identical text → identical simhash
+    assert(Dedup.simHash("a b c") == Dedup.simHash("a b c"))
+    assert(Dedup.hamming(Dedup.simHash("x y z"), Dedup.simHash("x y z")) == 0)
+  }
+
+  test("ngram jaccard brute pairs are the ground truth for planted dups") {
+    import spark.implicits._
+    val base = docs.filter($"doc_id" < 20).select($"doc_id", $"text")
+    val near = base.filter($"doc_id" < 5)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val res = Dedup.ngramJaccardPairs(base.unionByName(near), "text",
+      "doc_id", n = 3, threshold = 0.5).collect()
+    val planted = res.count(r => r.getLong(1) - r.getLong(0) == 100000)
+    assert(planted == 5, s"expected all 5 planted pairs, got $planted")
+  }
+
+  test("ANN: LSH top-k recall vs brute-force baseline") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5,
+      numPlanes = 4, numTables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 40) // 8 queries × k=5, deterministic
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall") // 8 tables × 4 planes, 64-dim
+    // cosine kernel sanity
+    assert(math.abs(Similarity.cosine(Array(1f, 0f), Array(1f, 0f)) - 1.0) < 1e-12)
+    assert(math.abs(Similarity.cosine(Array(1f, 0f), Array(0f, 1f))) < 1e-12)
+  }
+
+  test("embedding near-dup finds planted identical vectors") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val copies = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val res = Dedup.embeddingNearDup(emb.unionByName(copies), "embedding",
+      "vec_id", numPlanes = 8, threshold = 0.95).collect()
+    val planted = res.count(r => r.getLong(1) - r.getLong(0) == 100000)
+    assert(planted == 10, s"identical vectors always share the bucket: $planted")
+  }
+
+  test("multimodal: deterministic per-partition feature batches + frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect()
+      .sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq) // partitioning-independent
+    assert(f1.length == 120)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media), everyK = 10)
+    assert(frames.count() > 0)
+  }
+
+  test("text ops: column functions match pure expectations") {
+    import spark.implicits._
+    val df = Seq(
+      ("hello world  spark", 1L),
+      ("你好 世界", 2L),
+      ("", 3L)).toDF("text", "id")
+    val got = df.select($"id", TextOps.wsTokenCount($"text").as("n"),
+      TextOps.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == 3 && got(1L)._2 == "en")
+    assert(got(2L)._1 == 2 && got(2L)._2 == "zh")
+    assert(got(3L)._1 == 0)
+    // fingerprint: order-sensitive (permutation ≠)
+    assert(TextOps.rollingFingerprint("a b") != TextOps.rollingFingerprint("b a"))
+    assert(TextOps.rollingFingerprint("same") == TextOps.rollingFingerprint("same"))
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify output
+against DuckDB on the same parquet tables and diff per query.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+from pathlib import Path
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except Exception:
+                pass
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir, out_dir):
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ok, bad = [], []
+    for name, sql in sorted(oracle.items()):
+        pdir = out / name
+        if not pdir.exists():
+            bad.append((name, "spark result missing"))
+            continue
+        try:
+            got = canon(pq.read_table(str(pdir)).to_pandas())
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            bad.append((name, f"error: {e}"))
+            continue
+        if list(got.columns) != list(want.columns):
+            bad.append((name, f"columns differ: spark={list(got.columns)} duck={list(want.columns)}"))
+            continue
+        if len(got) != len(want):
+            bad.append((name, f"row count: spark={len(got)} duck={len(want)}"))
+            continue
+        try:
+            eq = got.equals(want)
+            if not eq:
+                # tolerate dtype mismatch but not value mismatch
+                eq = (got.astype(str).reset_index(drop=True)
+                      .equals(want.astype(str).reset_index(drop=True)))
+            if eq:
+                ok.append(name)
+            else:
+                diff = (got != want)
+                cells = int(diff.sum().sum())
+                firstbad = diff.any(axis=1)
+                idx = firstbad[firstbad].index[:3].tolist()
+                detail = "; ".join(
+                    f"row{i}: spark={got.iloc[i].to_dict()} duck={want.iloc[i].to_dict()}"
+                    for i in idx)
+                bad.append((name, f"{cells} differing cells. {detail}"))
+        except Exception as e:
+            bad.append((name, f"compare error: {e}"))
+    # rows-only entries: every written parquet without oracle must be nonempty
+    for pdir in sorted(out.iterdir()):
+        if pdir.is_dir() and pdir.name not in oracle:
+            n = pq.read_table(str(pdir)).num_rows
+            (ok if n > 0 else bad).append(
+                pdir.name + f" [rows-only n={n}]" if n > 0 else (pdir.name, "EMPTY rows-only result"))
+    print(f"== OK ({len(ok)}):")
+    for n in ok:
+        print("  ", n)
+    print(f"== BAD ({len(bad)}):")
+    for n, why in bad:
+        print("  ", n, "→", why)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
