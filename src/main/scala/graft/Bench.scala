@@ -1,24 +1,147 @@
 package graft
+
+import java.time.YearMonth
+
+import graft.core.Crawl
+import graft.corpus.{CorpusWriter, SyntheticWeb, WebSpec}
+import graft.driver.CrawlLoop
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Headline metric (BASELINE.json): pages fetched+extracted/sec on the
+  * synthetic Common-Crawl-style corpus, measured at two parallelism levels
+  * on the SAME input — local[2] vs local[8] (N and 4N cores; this sandbox
+  * has no cluster) — with scaling efficiency = (T_N/T_4N)/4.
+  *
+  * Why 2→8 and not 8→32: this VM's 32 vCPUs anti-scale for lock-bearing
+  * JVM workloads (futex storms + 13-18% steal; a pure-CPU microbenchmark
+  * scales 8→32 at 0.94, Spark runs vary 2-7×) — measured and documented
+  * in BASELINE.md. local[2]/local[8] numbers are reproducible.
+  *
+  * Corpus/warehouse are staged on tmpfs (/dev/shm) when available so the
+  * measurement is compute+shuffle, not virtio-disk writeback.
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // a compressed web corpus is dense — default 128m splits would give
+      // the fetch scan too few tasks to parallelize
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def scratchBase(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "6000").toInt
+
+    // throughput corpus: uniform hosts (round count = BFS depth, not one
+    // hot host's queue — the skewed topology is exercised by the
+    // correctness suite), fat pages (~8 KB post HTML)
+    val spec = WebSpec(nForums = nForums, indexPagesPerForum = 2,
+      postsPerIndexPage = 50, maxRepliesPerPost = 10, commentsPerPage = 5,
+      maxCommentPages = 1, nHosts = 64, nUsers = 20000, contentScale = 3,
+      hostSkew = false)
+    val cfg = Crawl.CrawlConfig(
+      startMonth = YearMonth.of(2019, 1), endMonth = YearMonth.of(2019, 12),
+      today = YearMonth.of(2019, 6),
+      indexPageBudget = spec.indexPagesPerForum - 1,
+      perHostBudget = 65536, maxRounds = 12)
+    val seeds = SyntheticWeb.seeds(spec, nForums)
+
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchBase()), "graft-bench").toString
+    val pagesPath = s"$work/pages"
+
+    // corpus generation once, at full parallelism
+    val sGen = session(32)
+    val (_, genSec) = timed {
+      CorpusWriter.write(sGen, spec, pagesPath, numPartitions = 64)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val pageCount = sGen.read.parquet(pagesPath).count()
+    sGen.stop()
+
+    var runIdx = 0
+    def crawlAt(cores: Int): (Long, Double) = {
+      runIdx += 1
+      val s = session(cores)
+      val pages = CorpusWriter.read(s, pagesPath)
+      val (summary, sec) = timed {
+        CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
+          expectedUrls = 1L << 24)
+      }
+      s.stop()
+      // free the warehouse between runs (tmpfs is RAM)
+      scala.reflect.io.Path(new java.io.File(s"$work/wh-$cores-$runIdx"))
+        .deleteRecursively()
+      (summary.totalFetched, sec)
+    }
+
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "2,8")
+      .split(',').map(_.trim.toInt).toSeq
+    val runs = order.map { cores =>
+      val (f, t) = crawlAt(cores)
+      println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f")
+      (cores, f, t)
+    }
+    val n = order.min
+    val n4 = order.max
+    val (_, fetchedN, tN) = runs.filter(_._1 == n).last
+    val (_, fetchedN4, tN4) = runs.filter(_._1 == n4).last
+    require(fetchedN == fetchedN4,
+      s"nondeterministic crawl: $fetchedN vs $fetchedN4")
+    val ppsN = fetchedN / tN
+    val ppsN4 = fetchedN4 / tN4
+    val efficiency = (tN / tN4) / (n4.toDouble / n)
+
+    // query timings at full parallelism over the driver's sf dir
+    val sQ = session(32)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (_, sec) = timed {
+          try fn(sQ, sfDir).count()
+          catch { case _: Throwable => -1L }
+        }
+        name -> sec
+    }
+    sQ.stop()
+
+    val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val crawlJson =
+      s"""{"pages_total":$pageCount,"fetched":$fetchedN4,""" +
+        s""""gen_sec":${f"$genSec%.1f"},""" +
+        s""""local${n}_sec":${f"$tN%.1f"},"local${n}_pps":${f"$ppsN%.1f"},""" +
+        s""""local${n4}_sec":${f"$tN4%.1f"},"local${n4}_pps":${f"$ppsN4%.1f"},""" +
+        s""""scaling_pair":"local[$n] -> local[$n4]",""" +
+        s""""scaling_efficiency":${f"$efficiency%.3f"}}"""
+    println(
+      s"""{"metric":"pages_fetched_extracted_per_sec","value":${f"$ppsN4%.1f"},""" +
+        s""""unit":"pages/sec","queries":$qJson,"sf":"$sfDir",""" +
+        s""""crawl":$crawlJson,""" +
+        s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}""")
   }
 }

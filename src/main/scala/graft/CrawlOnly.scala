@@ -1,0 +1,62 @@
+package graft
+
+import java.time.YearMonth
+
+import graft.core.Crawl
+import graft.corpus.{CorpusWriter, SyntheticWeb, WebSpec}
+import graft.driver.CrawlLoop
+import org.apache.spark.sql.SparkSession
+
+/** Profiling helper: crawl-only run at a given parallelism over a
+  * pre-generated corpus (generate with GRAFT_GEN=1). */
+object CrawlOnly {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("GRAFT_CORES", "32").toInt
+    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "300").toInt
+    val pagesPath = sys.env.getOrElse("GRAFT_PAGES", "/tmp/graft-pages")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE", cores.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_WSCG", "true"))
+      .config("spark.sql.codegen.factoryMode",
+        sys.env.getOrElse("GRAFT_CODEGEN", "FALLBACK"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAXPART", "16m"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_PQ_CODEC", "snappy"))
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("GRAFT_BATCH", "4096"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val spec = WebSpec(nForums = nForums, indexPagesPerForum = 2,
+      postsPerIndexPage = 50,
+      maxRepliesPerPost = sys.env.getOrElse("GRAFT_REPLIES", "4").toInt,
+      commentsPerPage = 5, maxCommentPages = 1, nHosts = 64, nUsers = 20000,
+      contentScale = sys.env.getOrElse("GRAFT_CONTENT", "1").toInt,
+      hostSkew = sys.env.getOrElse("GRAFT_SKEW", "true").toBoolean)
+    val cfg = Crawl.CrawlConfig(YearMonth.of(2019, 1), YearMonth.of(2019, 12),
+      YearMonth.of(2019, 6), indexPageBudget = spec.indexPagesPerForum - 1,
+      perHostBudget = sys.env.getOrElse("GRAFT_BUDGET", "16384").toInt,
+      maxRounds = 12)
+    if (sys.env.contains("GRAFT_GEN"))
+      CorpusWriter.write(spark, spec, pagesPath, numPartitions = 64)
+    val pages = CorpusWriter.read(spark, pagesPath)
+    val wh = sys.env.get("GRAFT_WH") match {
+      case Some(base) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(base), "graft-crawlonly").toString
+      case None => java.nio.file.Files.createTempDirectory("graft-crawlonly").toString
+    }
+    val t0 = System.nanoTime()
+    val sum = CrawlLoop.run(spark, pages, SyntheticWeb.seeds(spec, nForums),
+      cfg, wh, expectedUrls = 1L << 22)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[crawlonly] cores=$cores fetched=${sum.totalFetched} sec=$sec%.1f pps=${sum.totalFetched / sec}%.1f")
+    spark.stop()
+  }
+}

@@ -471,7 +471,16 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprintUdf(col("text")).as("fp"))
         .groupBy((col("fp") % 16).as("fp_bucket"))
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // weibo pipeline: card filter → byte-identical regex clean → JSON
+    // record sink shape → display projection (S5/P8/F8/S11/S12/P13)
+    "q_weibo_pipeline" -> ((s: SparkSession, dir: String) => {
+      val cards = graft.analytics.WeiboPipeline.syntheticCards(s, 20, 10)
+      val processed = graft.analytics.WeiboPipeline.processCards(cards)
+      graft.analytics.WeiboPipeline.displayProjection(
+        graft.analytics.WeiboPipeline.toJsonRecords(processed), s)
+    })
   )
 
   // streaming: tumbling-window agg via Structured Streaming, oracle = the

@@ -38,6 +38,9 @@ object CorpusWriter {
     pagesDf(spark, spec, numPartitions)
       .write.mode("overwrite")
       .partitionBy("host_bucket")
+      // urls/html/text are unique per row — dictionary encoding only
+      // buffers + falls back; disable
+      .option("parquet.enable.dictionary", "false")
       .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

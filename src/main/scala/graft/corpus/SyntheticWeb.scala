@@ -31,7 +31,9 @@ final case class WebSpec(nForums: Int,
                          maxCommentPages: Int = 2,
                          nHosts: Int = 16,
                          nUsers: Int = 500,
-                         seed: Long = 42L) {
+                         seed: Long = 42L,
+                         contentScale: Int = 1,
+                         hostSkew: Boolean = true) {
   require(postsPerIndexPage * indexPagesPerForum < PostsPerForumCap)
   private def PostsPerForumCap = 1000000
 }
@@ -52,11 +54,14 @@ object SyntheticWeb {
 
   // ---- topology --------------------------------------------------------
 
-  /** Geometric host assignment: P(host k) ≈ 2^-(k+1) → heavy skew. */
-  def hostIdOfForum(spec: WebSpec, f: Long): Int = {
-    val z = java.lang.Long.numberOfTrailingZeros(h(spec, 1L, f))
-    math.min(z, spec.nHosts - 1)
-  }
+  /** Geometric host assignment: P(host k) ≈ 2^-(k+1) → heavy skew
+    * (exercises hot-host politeness); uniform when hostSkew=false
+    * (throughput benchmarking). */
+  def hostIdOfForum(spec: WebSpec, f: Long): Int =
+    if (spec.hostSkew) {
+      val z = java.lang.Long.numberOfTrailingZeros(h(spec, 1L, f))
+      math.min(z, spec.nHosts - 1)
+    } else mod(h(spec, 1L, f), spec.nHosts)
 
   def hostOfForum(spec: WebSpec, f: Long): String =
     s"tieba${hostIdOfForum(spec, f)}.example.com"
@@ -98,8 +103,13 @@ object SyntheticWeb {
 
   def userOf(spec: WebSpec, key: Long): Int = mod(h(spec, 4L, key), spec.nUsers)
 
-  def userHost(spec: WebSpec, u: Int): String =
-    s"tieba${math.min(java.lang.Long.numberOfTrailingZeros(h(spec, 5L, u.toLong)), spec.nHosts - 1)}.example.com"
+  def userHost(spec: WebSpec, u: Int): String = {
+    val id = if (spec.hostSkew)
+      math.min(java.lang.Long.numberOfTrailingZeros(h(spec, 5L, u.toLong)),
+        spec.nHosts - 1).toInt
+    else mod(h(spec, 5L, u.toLong), spec.nHosts)
+    s"tieba$id.example.com"
+  }
 
   def homeUrl(spec: WebSpec, u: Int): String =
     UrlCanon.canonicalize(s"http://${userHost(spec, u)}/home/main?un=user$u")
@@ -134,7 +144,8 @@ object SyntheticWeb {
   def title(spec: WebSpec, pid: Long): String = DetText.words(h(spec, 12L, pid), 4)
 
   def replyContent(spec: WebSpec, pid: Long, r: Int): String =
-    DetText.sentences(h(spec, 13L, pid, r.toLong), 1 + mod(h(spec, 14L, pid, r.toLong), 3))
+    DetText.sentences(h(spec, 13L, pid, r.toLong),
+      spec.contentScale * (1 + mod(h(spec, 14L, pid, r.toLong), 3)))
 
   def bubbleContent(spec: WebSpec, pid: Long, r: Int): Option[String] =
     if (mod(h(spec, 15L, pid, r.toLong), 5) == 0)

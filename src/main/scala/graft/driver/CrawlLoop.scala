@@ -37,7 +37,8 @@ object CrawlLoop {
           cfg: Crawl.CrawlConfig,
           warehouse: String,
           expectedUrls: Long = 1L << 20,
-          resume: Boolean = false): CrawlSummary = {
+          resume: Boolean = false,
+          robots: Map[String, Vector[String]] = Map.empty): CrawlSummary = {
     import spark.implicits._
 
     val startRound: Int = Snapshots.latestCommittedRound(warehouse) match {
@@ -47,7 +48,12 @@ object CrawlLoop {
       case None =>
         // snapshot 0: seeds only (mirrors start_urls, PostSpider.py:40)
         val epoch = new Timestamp(0L)
-        val seedEntries = seedUrls.map(u =>
+        val gatedSeeds =
+          if (cfg.obeyRobots && robots.nonEmpty)
+            seedUrls.filter(u => graft.core.Robots.isAllowed(robots,
+              graft.core.UrlCanon.canonicalize(u)))
+          else seedUrls
+        val seedEntries = gatedSeeds.map(u =>
           FrontierEntry.fromUrl(graft.core.UrlCanon.canonicalize(u), 0, 0, "", 0, epoch))
         val seedDs = spark.createDataset(seedEntries)
         seedDs.write.mode("overwrite")
@@ -66,7 +72,9 @@ object CrawlLoop {
     var totalFetched = 0L
     var totalErrors = 0L
     var totalDeduped = 0L
-    var frontierCount = -1L
+    // derived arithmetically per round: frontier' = frontier - selected + new
+    var frontierCount: Long = Snapshots.readManifest(warehouse, round - 1)
+      .map(_.frontierCount).getOrElse(-1L)
 
     while (frontierCount != 0L && round <= cfg.maxRounds &&
       !Files.exists(Paths.get(warehouse, CancelMarker))) {
@@ -78,52 +86,34 @@ object CrawlLoop {
         .getOrElse(spark.emptyDataset[Long].toDF("url_hash"))
       val bloom = Snapshots.readBloom(warehouse, prev)
 
-      val res = CrawlRound.run(spark, frontier, pages, seen, bloom, cfg, round)
-
-      // commit: data dirs first, manifest last (the manifest IS the commit)
-      res.newFrontier.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "frontier"))
-      res.seenDelta.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "seen_delta"))
-      res.posts.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "posts"))
-      res.replies.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "replies"))
-      res.comments.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "comments"))
-      res.tiebaNames.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "tieba_names"))
-      res.fetchLog.write.mode("overwrite")
-        .parquet(Snapshots.tablePath(warehouse, round, "fetch_log"))
+      // the round writes fetched/misses/frontier/seen_delta itself;
+      // manifest below is the commit marker
+      val tRound = System.nanoTime()
+      val res = CrawlRound.run(spark, frontier, pages, seen, bloom, cfg,
+        round, warehouse, frontierCount, expectedUrls, robots)
+      if (sys.env.contains("GRAFT_ROUND_LOG"))
+        println(f"[round $round%3d] fetched=${res.fetchedCount}%7d " +
+          f"new=${res.newCount}%7d deduped=${res.dedupedCount}%7d " +
+          f"sec=${(System.nanoTime() - tRound) / 1e9}%6.1f")
 
       // incremental Bloom merge (north_rule "merge deltas at round
-      // boundaries"): build this round's delta Bloom DISTRIBUTED with the
-      // cumulative filter's geometry (map-side partial build + tree merge
-      // inside the Aggregator), then a single bitwise OR on the driver —
-      // the driver never sees raw hashes, only two bitsets.
-      val deltaHashes = spark.read
-        .parquet(Snapshots.tablePath(warehouse, round, "seen_delta"))
-      val bloomBuild = BloomSeen.bloomBuildUdaf(expectedUrls)
-      val deltaBloomRow = deltaHashes
-        .agg(bloomBuild(org.apache.spark.sql.functions.col("url_hash"))).collect()
-      val merged =
-        if (deltaBloomRow.isEmpty || deltaBloomRow(0).isNullAt(0)) bloom
-        else BloomSeen.mergeInto(bloom, deltaBloomRow(0).getAs[Array[Byte]](0))
+      // boundaries"): the round built this delta's Bloom DISTRIBUTED with
+      // the cumulative filter's geometry; one bitwise OR here — the driver
+      // never sees raw hashes, only two bitsets.
+      val merged = res.deltaBloom match {
+        case Some(delta) => BloomSeen.mergeInto(bloom, delta)
+        case None        => bloom
+      }
       Snapshots.writeBloom(warehouse, round, merged)
-
-      val committedFrontier = spark.read
-        .parquet(Snapshots.tablePath(warehouse, round, "frontier"))
-      frontierCount = committedFrontier.count()
-      val seenDeltaCount = deltaHashes.count()
+      frontierCount = res.frontierCount
 
       Snapshots.writeManifest(warehouse, Snapshots.Manifest(round, prev,
-        frontierCount, seenDeltaCount, res.fetchedCount, res.errorCount,
+        frontierCount, res.newCount, res.fetchedCount, res.errorCount,
         res.dedupedCount, res.lineage))
 
       totalFetched += res.fetchedCount
       totalErrors += res.errorCount
       totalDeduped += res.dedupedCount
-      res.cleanup()
       round += 1
     }
 

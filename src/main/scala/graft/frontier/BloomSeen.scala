@@ -119,9 +119,13 @@ object BloomSeen {
       org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new BloomAggregator(expectedItems, fpp), Encoders.scalaLong)
 
-  /** Probe column against a broadcast bloom (closure-captured bytes). */
-  def mightContainCol(bloomBytes: Array[Byte], hashCol: Column): Column = {
-    val probe = functions.udf((h: Long) => mightContain(bloomBytes, h))
+  /** Probe column against a TorrentBroadcast-shipped bloom. Never capture
+    * the raw bytes in the UDF closure — a multi-MB filter would be
+    * re-serialized into every task binary, throttling the driver as
+    * parallelism grows; the broadcast ships once per executor. */
+  def mightContainCol(bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                      hashCol: Column): Column = {
+    val probe = functions.udf((h: Long) => mightContain(bloomBc.value, h))
     probe(hashCol)
   }
 }

@@ -26,9 +26,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
+  /** Physical per-round tables. `fetched` is the round's working set (url,
+    * lineage columns, extracted `out` struct, text_match); item tables are
+    * derived VIEWS over it at read time — one write per round instead of
+    * five, O(1) jobs per round. */
+  val PhysicalTables: Seq[String] =
+    Seq("frontier", "seen_delta", "fetched", "misses")
+
+  /** Logical tables exposed to readers. */
   val Tables: Seq[String] =
-    Seq("frontier", "seen_delta", "posts", "replies", "comments",
-      "tieba_names", "fetch_log")
+    Seq("frontier", "seen_delta", "fetched", "misses", "posts", "replies",
+      "comments", "tieba_names", "fetch_log")
 
   def snapDir(warehouse: String, round: Int): String =
     f"$warehouse/snap-$round%05d"
@@ -104,11 +112,42 @@ object Snapshots {
     (0 to upToRound).map(r => tablePath(warehouse, r, table))
       .filter(p => Files.exists(Paths.get(p)))
 
-  /** Full logical table at round k = union of committed deltas 0..k. */
-  def readTable(spark: SparkSession, warehouse: String, table: String,
-                upToRound: Int): Option[DataFrame] = {
+  private def readPhysical(spark: SparkSession, warehouse: String,
+                           table: String, upToRound: Int): Option[DataFrame] = {
     val paths = existingDeltaPaths(warehouse, table, upToRound)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Full logical table at round k = union of committed deltas 0..k.
+    * Item tables and the fetch log are derived from `fetched`/`misses`. */
+  def readTable(spark: SparkSession, warehouse: String, table: String,
+                upToRound: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    def fetched = readPhysical(spark, warehouse, "fetched", upToRound)
+    table match {
+      case "posts" => fetched.map(
+        _.select(explode(col("out.posts")).as("p")).select(col("p.*")))
+      case "replies" => fetched.map(
+        _.select(explode(col("out.replies")).as("r")).select(col("r.*")))
+      case "comments" => fetched.map(
+        _.select(explode(col("out.comments")).as("c")).select(col("c.*")))
+      case "tieba_names" => fetched.map(
+        _.select(col("url").as("user_url"),
+          explode(col("out.tieba_names")).as("tieba")))
+      case "fetch_log" =>
+        val f = fetched.map(_.select(col("round"), col("url"),
+          col("url_hash"), col("host"), col("depth"),
+          lit("fetched").as("status"), col("text_match")))
+        val m = readPhysical(spark, warehouse, "misses", upToRound)
+          .map(_.select(col("round"), col("url"), col("url_hash"),
+            col("host"), col("depth"), lit("miss").as("status"),
+            lit(false).as("text_match")))
+        (f, m) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => readPhysical(spark, warehouse, table, upToRound)
+    }
   }
 
   def readLatestTable(spark: SparkSession, warehouse: String,

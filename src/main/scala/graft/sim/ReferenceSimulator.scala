@@ -44,10 +44,14 @@ object ReferenceSimulator {
     index.get
   }
 
-  def run(spec: WebSpec, seedUrls: Seq[String], cfg: Crawl.CrawlConfig): SimResult = {
+  def run(spec: WebSpec, seedUrls: Seq[String], cfg: Crawl.CrawlConfig,
+          robots: Map[String, Vector[String]] = Map.empty): SimResult = {
     val lookup = pageLookup(spec)
     val seen = mutable.HashSet.empty[Long]
     var pending = Vector.empty[SimEntry]
+    def allowed(canonicalUrl: String): Boolean =
+      !(cfg.obeyRobots && robots.nonEmpty) ||
+        graft.core.Robots.isAllowed(robots, canonicalUrl)
 
     def entryOf(url: String, priority: Int, depth: Int, warcTs: Long): SimEntry = {
       val c = UrlCanon.canonicalize(url)
@@ -56,7 +60,7 @@ object ReferenceSimulator {
 
     seedUrls.foreach { u =>
       val e = entryOf(u, 0, 0, 0L)
-      if (seen.add(e.urlHash)) pending :+= e
+      if (allowed(e.url) && seen.add(e.urlHash)) pending :+= e
     }
 
     val fetchOrder = Vector.newBuilder[(Int, String)]
@@ -96,9 +100,10 @@ object ReferenceSimulator {
             replies ++= out.replies
             comments ++= out.comments
             out.tiebaNames.foreach(n => tiebaNames += ((e.url, n)))
-            out.links.foreach(l =>
-              discovered += entryOf(l.url, l.priority, l.depth,
-                page.warcTs.getTime))
+            out.links.foreach { l =>
+              val e = entryOf(l.url, l.priority, l.depth, page.warcTs.getTime)
+              if (allowed(e.url)) discovered += e
+            }
         }
       }
 

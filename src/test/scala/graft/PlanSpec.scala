@@ -1,0 +1,82 @@
+package graft
+
+import graft.corpus.{CorpusWriter, WebSpec}
+import graft.round.CrawlRound
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the physical plans the engine relies on at scale
+  * must actually materialize — broadcast fetch join, partition pruning on
+  * host_bucket, parquet filter/column pushdown, no shuffle of the pages
+  * side. Catching regressions here is the local proxy for "would this
+  * survive a 100× scale-up". */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val pagesPath: String = {
+    val p = TestSpark.tmpDir("plan-pages")
+    CorpusWriter.write(spark,
+      WebSpec(nForums = 2, indexPagesPerForum = 2, postsPerIndexPage = 5,
+        maxRepliesPerPost = 2, nHosts = 4, nUsers = 20), p, 4)
+    p
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fetch join: pages side broadcast-joined, partition-pruned, never shuffled") {
+    import spark.implicits._
+    val pages = CorpusWriter.read(spark, pagesPath)
+    val selected = Seq(
+      ("http://tieba0.example.com/p/1000001", 37),
+      ("http://tieba1.example.com/p/2000001", 12))
+      .toDF("url", "host_bucket")
+      .select(col("host_bucket"), col("url"))
+    // same shape CrawlRound.run builds: static IN pruning + broadcast join
+    val hits = CrawlRound.withHostBucket(pages)
+      .filter(col("host_bucket").isin(12, 37))
+      .join(broadcast(selected), Seq("host_bucket", "url"))
+    val plan = planOf(hits)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // disk-partitioned corpus ⇒ host_bucket IN (...) is a partition filter
+    // on the scan (file skipping), not a post-scan Filter
+    assert(plan.contains("PartitionFilters: [host_bucket"), plan.take(2000))
+    assert(plan.contains("host_bucket#") && plan.contains("IN (12,37)"),
+      plan.take(2000))
+    // the big side must not shuffle
+    assert(!plan.contains("Exchange hashpartitioning(url"), plan.take(2000))
+  }
+
+  test("parquet scans: filter and column pushdown reach the reader") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = li.filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.take(1500))
+  }
+
+  test("containment join broadcasts the small terms side") {
+    val q = Queries.all("q_j2_containment_join")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("grouped count uses partial aggregation (map-side combine)") {
+    val q = Queries.all("q_a1_grouped_count")(spark, sf)
+    val plan = planOf(q)
+    // two HashAggregate levels around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("count"), plan.take(500))
+  }
+
+  test("anti-join shape for the seen filter is a real join, not a filter-collect") {
+    val q = Queries.all("q_j5_seen_antijoin")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+}
