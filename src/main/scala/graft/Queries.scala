@@ -425,10 +425,11 @@ object Queries {
       Dedup.simHashPairs(docsWithNearDups(s, dir), "text", "doc_id",
         maxHamming = 3)),
 
-    // exact n-gram Jaccard (brute baseline on a slice)
+    // exact n-gram Jaccard (brute baseline on a slice — quadratic by
+    // construction, kept small; MinHash-LSH is the scale path)
     "q_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(
-        docsWithNearDups(s, dir).filter(col("doc_id") % 5 === 0),
+        docsWithNearDups(s, dir).filter(col("doc_id") % 20 === 0),
         "text", "doc_id", n = 3, threshold = 0.5)),
 
     // embedding-cosine near-dup via hyperplane LSH buckets
