@@ -1,0 +1,97 @@
+package graft.expressions
+
+import graft.core.{UrlCanon, XxHash64}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hottest scalar kernels —
+  * the per-link url/host hashing on the frontier-expansion path. A Scala
+  * UDF here pays per-row encoder boxing and breaks WholeStageCodegen; a
+  * native `UnaryExpression` with `doGenCode` emits a direct static call
+  * inside the generated loop (SURVEY.md §2.10 preference order: built-in >
+  * native Expression > UDF).
+  *
+  * All three delegate to the same pure-Scala kernels
+  * ([[graft.core.XxHash64]], [[graft.core.UrlCanon]]) used by the oracle
+  * simulator, so engine/oracle identity is preserved bit-for-bit.
+  */
+object UrlExpressions {
+
+  /** xxhash64 of the UTF-8 string — `url_hash`'s definition. */
+  case class UrlHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    // Spark 4: null-intolerance is a method, not a marker trait
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_url_hash"
+
+    // single kernel shared with interpreted eval and codegen
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(
+        XxHash64.hash(v.asInstanceOf[UTF8String].getBytes))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.core.XxHash64.hash($c.getBytes(), 0L)")
+
+    override protected def withNewChildInternal(c: Expression): UrlHash64 =
+      copy(child = c)
+  }
+
+  /** Lower-cased host of a URL (frontier `host` column). */
+  case class UrlHost(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_url_host"
+
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(UrlCanon.host(v.asInstanceOf[UTF8String].toString))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.core.UrlCanon.host($c.toString()))")
+
+    override protected def withNewChildInternal(c: Expression): UrlHost =
+      copy(child = c)
+  }
+
+  // Column-API wrappers (Spark 4: Column.apply over an expression goes
+  // through the internal API; expr-string via session registry is the
+  // public route, so we register and call by name)
+  def urlHash(c: Column): Column =
+    org.apache.spark.sql.functions.expr(s"graft_url_hash(${c.toString})")
+
+  /** Register into a session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_url_hash",
+      exprs => UrlHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_url_host",
+      exprs => UrlHost(exprs.head), "scala_udf")
+  }
+}
+
+/** Session extension: injects the engine's native functions at session
+  * build time (`.withExtensions(new GraftExtensions)`) so plain SQL can
+  * call them — the SparkSessionExtensions integration point for the
+  * engine's custom-expression surface. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_url_hash"),
+      new ExpressionInfo(classOf[UrlExpressions.UrlHash64].getName,
+        "graft_url_hash"),
+      (exprs: Seq[Expression]) => UrlExpressions.UrlHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_url_host"),
+      new ExpressionInfo(classOf[UrlExpressions.UrlHost].getName,
+        "graft_url_host"),
+      (exprs: Seq[Expression]) => UrlExpressions.UrlHost(exprs.head)))
+  }
+}

@@ -189,9 +189,9 @@ object CrawlRound {
     }
 
     // ---- frontier expansion ---------------------------------------------
-    val urlHashUdf = udf((u: String) => UrlCanon.urlHash(u))
-    val hostUdf = udf((u: String) => UrlCanon.host(u))
-    val hostHashUdf = udf((h: String) => UrlCanon.hostHash(h))
+    // native Catalyst expressions (codegen'd, same kernels as the oracle)
+    // for the per-link hot path — see graft.expressions.UrlExpressions
+    graft.expressions.UrlExpressions.register(spark)
     val rawLinks = fetched.select(col("url").as("parent_url"),
         col("page_warc_ts").as("warc_ts"), explode(col("out.links")).as("l"))
       .select(col("l.url").as("url"), col("l.depth").as("depth"),
@@ -216,9 +216,9 @@ object CrawlRound {
       .select(col("url"), col("m.priority").as("priority"),
         col("m.warc_ts").as("warc_ts"), col("m.depth").as("depth"),
         col("m.parent_url").as("parent_url"))
-      .withColumn("url_hash", urlHashUdf(col("url")))
-      .withColumn("host", hostUdf(col("url")))
-      .withColumn("host_hash", hostHashUdf(col("host")))
+      .withColumn("url_hash", expr("graft_url_hash(url)"))
+      .withColumn("host", expr("graft_url_host(url)"))
+      .withColumn("host_hash", expr("graft_url_hash(host)"))
       .withColumn("discovered_round", lit(round))
 
     // Bloom pre-filter (broadcast probe); suspects confirmed WITHOUT
