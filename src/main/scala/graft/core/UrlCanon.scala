@@ -108,4 +108,9 @@ object UrlCanon {
   def urlHash(canonicalUrl: String): Long = XxHash64.hashString(canonicalUrl)
 
   def hostHash(host: String): Long = XxHash64.hashString(host)
+
+  /** Host bucket in [0, numBuckets): the co-location key shared by the
+    * frontier and the pages table (floor-mod so negative hashes map in). */
+  def hostBucket(url: String, numBuckets: Int): Int =
+    (((hostHash(host(url)) % numBuckets) + numBuckets) % numBuckets).toInt
 }

@@ -48,13 +48,18 @@ object CrawlLoop {
       case None =>
         // snapshot 0: seeds only (mirrors start_urls, PostSpider.py:40)
         val epoch = new Timestamp(0L)
+        // canonical-identity dedupe BEFORE gating (the oracle simulator
+        // dedupes seeds via seen.add — duplicate or alias-canonical seeds
+        // must not double-enqueue; ADVICE r1)
+        val canonSeeds = seedUrls
+          .map(u => graft.core.UrlCanon.canonicalize(u)).distinct
         val gatedSeeds =
           if (cfg.obeyRobots && robots.nonEmpty)
-            seedUrls.filter(u => graft.core.Robots.isAllowed(robots,
-              graft.core.UrlCanon.canonicalize(u)))
-          else seedUrls
+            canonSeeds.filter(u => graft.core.Robots.isAllowed(robots, u))
+          else canonSeeds
         val seedEntries = gatedSeeds.map(u =>
-          FrontierEntry.fromUrl(graft.core.UrlCanon.canonicalize(u), 0, 0, "", 0, epoch))
+          FrontierEntry.fromUrl(u, 0, 0, "", 0, epoch))
+          .distinctBy(_.url_hash)
         val seedDs = spark.createDataset(seedEntries)
         seedDs.write.mode("overwrite")
           .parquet(Snapshots.tablePath(warehouse, 0, "frontier"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hottest scalar kernels —
@@ -61,6 +61,58 @@ object UrlExpressions {
       copy(child = c)
   }
 
+  /** Host bucket of a URL (0..numBuckets-1): the frontier/pages co-location
+    * key. Folds the former hostBucketUdf into the native-expression family
+    * so the pages-side bucket derivation stays inside WholeStageCodegen. */
+  case class UrlHostBucket(child: Expression, numBuckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_host_bucket"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Integer.valueOf(
+        UrlCanon.hostBucket(v.asInstanceOf[UTF8String].toString, numBuckets))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.core.UrlCanon.hostBucket($c.toString(), $numBuckets)")
+
+    override protected def withNewChildInternal(c: Expression): UrlHostBucket =
+      copy(child = c)
+  }
+
+  /** robots.txt gate as a native expression (T3): prefix-match of the
+    * url's path+query against the host's Disallow rules. The rule map is a
+    * plan-level reference object (shipped once per task in the codegen
+    * references, not per row) — replaces the per-row Scala UDF the round
+    * used to put on the hottest path. A rules TABLE too large for the plan
+    * would become a broadcast join instead; the reference's rule sets are
+    * per-host handfuls. */
+  case class RobotsAllowed(child: Expression,
+                           byHost: Map[String, Vector[String]])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_robots_allowed"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Boolean.valueOf(
+        graft.core.Robots.isAllowed(byHost, v.asInstanceOf[UTF8String].toString))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("robotsByHost", byHost,
+        "scala.collection.immutable.Map")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.core.Robots.isAllowed($mapRef, $c.toString())")
+    }
+
+    override protected def withNewChildInternal(c: Expression): RobotsAllowed =
+      copy(child = c)
+  }
+
   // Column-API wrappers (Spark 4: Column.apply over an expression goes
   // through the internal API; expr-string via session registry is the
   // public route, so we register and call by name)
@@ -75,6 +127,19 @@ object UrlExpressions {
     reg.createOrReplaceTempFunction("graft_url_host",
       exprs => UrlHost(exprs.head), "scala_udf")
   }
+
+  /** Register the host-bucket function for a given bucket count. */
+  def registerHostBucket(spark: SparkSession, numBuckets: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_host_bucket", exprs => UrlHostBucket(exprs.head, numBuckets),
+      "scala_udf")
+
+  /** Register the robots gate bound to this run's rule map. */
+  def registerRobots(spark: SparkSession,
+                     byHost: Map[String, Vector[String]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_robots_allowed", exprs => RobotsAllowed(exprs.head, byHost),
+      "scala_udf")
 }
 
 /** Session extension: injects the engine's native functions at session

@@ -41,10 +41,17 @@ object BloomSeen {
 
   def empty(expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val (bits, k) = geometry(expectedItems, fpp)
-    val words = (bits / 64).toInt
-    val buf = java.nio.ByteBuffer.allocate(8 + words * 8)
+    val words = bits / 64
+    // size the buffer in Long first: at expectedItems ≳ 1.8e9 (fpp 0.01)
+    // Int arithmetic would overflow to a negative allocation (ADVICE r1)
+    val byteSize = 8L + words * 8L
+    require(byteSize <= Int.MaxValue.toLong,
+      s"bloom for $expectedItems items (fpp=$fpp) needs $byteSize bytes — " +
+        "exceeds a single array; shard the Bloom by url_hash range " +
+        "(one filter per shard, probe the matching shard)")
+    val buf = java.nio.ByteBuffer.allocate(byteSize.toInt)
     buf.putInt(0, k)
-    buf.putInt(4, words)
+    buf.putInt(4, words.toInt)
     buf.array()
   }
 

@@ -84,15 +84,22 @@ object Snapshots {
     }
   }
 
-  /** Highest committed round, i.e. max snap-k having a manifest. */
+  private val SnapDirPattern = "snap-(\\d+)".r
+
+  /** Highest committed round, i.e. max snap-k having a manifest. Stray
+    * non-numeric snap-* entries are ignored; the listing stream is closed
+    * (this runs every round and per reader — ADVICE r1). */
   def latestCommittedRound(warehouse: String): Option[Int] = {
     val w = Paths.get(warehouse)
     if (!Files.exists(w)) return None
-    Files.list(w).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snap-") => s.stripPrefix("snap-").toInt }
-      .filter(r => Files.exists(Paths.get(snapDir(warehouse, r), "manifest.json")))
-      .maxOption
+    val stream = Files.list(w)
+    try {
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SnapDirPattern(k) => k.toInt }
+        .filter(r => Files.exists(Paths.get(snapDir(warehouse, r), "manifest.json")))
+        .maxOption
+    } finally stream.close()
   }
 
   def writeBloom(warehouse: String, round: Int, bloom: Array[Byte]): Unit = {
@@ -119,12 +126,17 @@ object Snapshots {
   }
 
   /** Full logical table at round k = union of committed deltas 0..k.
-    * Item tables and the fetch log are derived from `fetched`/`misses`. */
+    * Item tables and the fetch log are derived from `fetched`/`misses`.
+    * `frontier` is NOT a delta table — each round writes the full pending
+    * state — so it reads only the latest dir ≤ k (ADVICE r1). */
   def readTable(spark: SparkSession, warehouse: String, table: String,
                 upToRound: Int): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     def fetched = readPhysical(spark, warehouse, "fetched", upToRound)
     table match {
+      case "frontier" =>
+        existingDeltaPaths(warehouse, "frontier", upToRound).lastOption
+          .map(p => spark.read.parquet(p))
       case "posts" => fetched.map(
         _.select(explode(col("out.posts")).as("p")).select(col("p.*")))
       case "replies" => fetched.map(

@@ -67,15 +67,17 @@ object CrawlRound {
   def hostBucketOf(hostHash: Long): Int =
     (((hostHash % NumHostBuckets) + NumHostBuckets) % NumHostBuckets).toInt
 
-  private val hostBucketUdf = udf((url: String) =>
-    hostBucketOf(UrlCanon.hostHash(UrlCanon.host(url))))
-
   /** pages with a host_bucket column: pass-through when the corpus writer
     * already partitioned by it; derived otherwise (input_hint tables have
-    * exactly the 5 contract columns). */
+    * exactly the 5 contract columns) via the native codegen'd expression —
+    * no UDF on the pages scan. */
   def withHostBucket(pages: DataFrame): DataFrame =
     if (pages.columns.contains("host_bucket")) pages
-    else pages.withColumn("host_bucket", hostBucketUdf(col("url")))
+    else {
+      graft.expressions.UrlExpressions.registerHostBucket(
+        pages.sparkSession, NumHostBuckets)
+      pages.withColumn("host_bucket", expr("graft_host_bucket(url)"))
+    }
 
   /** Runs the round and writes `fetched` / `misses` / `frontier` /
     * `seen_delta` into the round's snapshot dir (manifest is the caller's
@@ -199,13 +201,13 @@ object CrawlRound {
 
     // robots gate (T3) at ENQUEUE time: blocked urls never enter the
     // frontier or the seen set (default off — ROBOTSTXT_OBEY=False in the
-    // reference); gating here keeps the frontier-count arithmetic exact
-    val robotsB = spark.sparkContext.broadcast(robots)
+    // reference); gating here keeps the frontier-count arithmetic exact.
+    // Native codegen'd expression, not a UDF — this sits on the per-link
+    // hot path when enabled.
     val gatedLinks =
       if (cfg.obeyRobots && robots.nonEmpty) {
-        val allowedUdf = udf((u: String) =>
-          graft.core.Robots.isAllowed(robotsB.value, u))
-        rawLinks.filter(allowedUdf(col("url")))
+        graft.expressions.UrlExpressions.registerRobots(spark, robots)
+        rawLinks.filter(expr("graft_robots_allowed(url)"))
       } else rawLinks
 
     // in-round dedup: one deterministic representative per url (min struct)
@@ -272,7 +274,15 @@ object CrawlRound {
 
     val fetchedCount = lineageRows.map(_.getLong(1)).sum
     val discoveredCount = lineageRows.map(_.getLong(2)).sum
+    // Contract: `pages` has unique (host_bucket, url) rows — the corpus
+    // writer guarantees it and the generator derives urls from unique ids.
+    // A duplicate page row would multiply join hits and drive this
+    // negative, silently corrupting the driver loop's termination
+    // arithmetic, so fail loudly instead (ADVICE r1).
     val errorCount = selectedCount - fetchedCount
+    require(errorCount >= 0,
+      s"round $round: fetched ($fetchedCount) > selected ($selectedCount); " +
+        "pages table violates the unique-(host_bucket,url) contract")
     val dedupedCount = discoveredCount - newCount
     // frontier' = frontier - selected + new: no count job
     val frontierCount = prevFrontierCount - selectedCount + newCount

@@ -79,4 +79,28 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(q)
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
+
+  test("robots gate and host-bucket derivation run as native expressions, no UDF") {
+    import spark.implicits._
+    val rules = Map("tieba0.example.com" -> Vector("/p/comment"))
+    graft.expressions.UrlExpressions.registerRobots(spark, rules)
+    graft.expressions.UrlExpressions.registerHostBucket(spark, 64)
+    // parquet-backed so the gate isn't constant-folded out of the plan
+    val linksPath = TestSpark.tmpDir("plan-links")
+    Seq("http://tieba0.example.com/p/comment?tid=1",
+      "http://tieba0.example.com/p/9").toDF("url")
+      .write.mode("overwrite").parquet(linksPath)
+    val gated = spark.read.parquet(linksPath)
+      .filter(org.apache.spark.sql.functions.expr("graft_robots_allowed(url)"))
+      .withColumn("host_bucket",
+        org.apache.spark.sql.functions.expr("graft_host_bucket(url)"))
+    val plan = planOf(gated)
+    assert(!plan.contains("UDF"), plan.take(2000))
+    assert(plan.contains("graft_robots_allowed"), plan.take(2000))
+    assert(plan.contains("graft_host_bucket"), plan.take(2000))
+    // codegen path evaluates correctly (reference-object map in the
+    // generated code)
+    assert(gated.collect().map(_.getString(0)).toSeq ==
+      Seq("http://tieba0.example.com/p/9"))
+  }
 }
