@@ -410,79 +410,208 @@ object Queries {
   )
 
   // ======================================================================
-  // rows-only queries (non-SQL-expressible kernels; ScalaTest-verified)
+  // near-dup / ANN family: DuckDB computes the EXACT answer (all-pairs
+  // Jaccard / cosine in SQL); the engine's LSH paths are parameterized for
+  // recall 1 on this corpus (validated empirically at the gate scale), so
+  // approximate-by-construction operators still face a hard oracle.
   // ======================================================================
 
-  private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** DuckDB SQL for docsWithNearDups (same perturbation as the Spark side). */
+  private val DocsNearDupSql =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id < 10)""".stripMargin
 
-    // MinHash+LSH near-dup pairs (perturbed copies guarantee positives)
-    "q_dedup_minhash_lsh" -> ((s: SparkSession, dir: String) =>
-      Dedup.minHashLsh(docsWithNearDups(s, dir), "text", "doc_id",
-        numHashes = 16, bands = 4, threshold = 0.5)),
+  /** DuckDB SQL computing distinct 3-gram word shingles per doc (same
+    * kernel as [[Dedup.shingles]]: whitespace split, <3 tokens → the
+    * single joined-token shingle). */
+  private def shinglesSql(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END) AS s
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '\\s+'),
+       |                      x -> len(x) > 0) AS toks
+       |        FROM $src))""".stripMargin
 
-    // SimHash near-dup pairs
-    "q_dedup_simhash" -> ((s: SparkSession, dir: String) =>
-      Dedup.simHashPairs(docsWithNearDups(s, dir), "text", "doc_id",
-        maxHamming = 3)),
+  /** Exact-Jaccard pair join ≥ threshold over the `sh` CTE. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  /** DuckDB SQL for embWithNearDups. */
+  private val EmbNearDupSql =
+    """emb2 AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+
+  private val nearDupOracleBacked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
     // exact n-gram Jaccard (brute baseline on a slice — quadratic by
-    // construction, kept small; MinHash-LSH is the scale path)
-    "q_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
-      Dedup.ngramJaccardPairs(
-        docsWithNearDups(s, dir).filter(col("doc_id") % 20 === 0),
-        "text", "doc_id", n = 3, threshold = 0.5)),
+    // construction, kept small; MinHash-LSH is the scale path). Oracle is
+    // the identical all-pairs computation in DuckDB list algebra.
+    "q_dedup_ngram_jaccard" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(
+          docsWithNearDups(s, dir).filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", n = 3, threshold = 0.5),
+      s"""WITH $DocsNearDupSql,
+         |sliced AS (SELECT * FROM docs2 WHERE doc_id % 20 = 0),
+         |${shinglesSql("sliced")}
+         |${jaccardPairsSql(0.5)}""".stripMargin)),
 
-    // embedding-cosine near-dup via hyperplane LSH buckets
-    "q_dedup_embed_cosine" -> ((s: SparkSession, dir: String) =>
-      Dedup.embeddingNearDup(embWithNearDups(s, dir), "embedding", "vec_id",
-        numPlanes = 8, threshold = 0.95)),
+    // MinHash+LSH near-dup pairs. 8 bands × 2 rows: P(miss | s=0.9 planted
+    // pair) ≈ 2e-6, and every surviving pair is exact-verified, so the
+    // output EQUALS the exact all-pairs join on this corpus (validated at
+    // sf0.01/sf0.001) — the LSH is graded against ground truth, not
+    // rows-only.
+    "q_dedup_minhash_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.minHashLsh(docsWithNearDups(s, dir), "text", "doc_id",
+          numHashes = 16, bands = 8, threshold = 0.5),
+      s"""WITH $DocsNearDupSql,
+         |${shinglesSql("docs2")}
+         |${jaccardPairsSql(0.5)}""".stripMargin)),
 
-    // ANN: brute-force cosine top-5 (exactness baseline)
-    "q_ann_brute_topk" -> ((s: SparkSession, dir: String) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
-        "embedding", "vec_id", k = 5).drop("cos")
-    }),
+    // embedding-cosine near-dup via hyperplane LSH buckets; ids only in
+    // the output (cosine VALUES differ in ulps between engines). Oracle =
+    // exact all-pairs cosine join.
+    "q_dedup_embed_cosine" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(embWithNearDups(s, dir), "embedding", "vec_id",
+          numPlanes = 8, threshold = 0.95).select(col("id_a"), col("id_b")),
+      s"""WITH $EmbNearDupSql
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin)),
 
-    // ANN: LSH-bucketed top-5 (scale path)
-    "q_ann_lsh_topk" -> ((s: SparkSession, dir: String) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-        "embedding", "vec_id", k = 5, numPlanes = 4, numTables = 8).drop("cos")
-    }),
+    // ANN: brute-force cosine top-5 (exactness baseline); integer output
+    // (query, corpus, rank) so the compare is ulp-proof.
+    "q_ann_brute_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", k = 5).drop("cos")
+      },
+      """SELECT query_id, corpus_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8)
+        |WHERE rank <= 5""".stripMargin)),
 
-    // multimodal plumbing: binary payloads → per-partition feature batch
-    "q_multimodal_features" -> ((s: SparkSession, dir: String) => {
-      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
-      feats.toDF().groupBy(col("kind"))
-        .agg(count(lit(1)).as("cnt"), sum(col("n_frames")).as("total_frames"))
-    }),
+    // ANN: LSH-bucketed top-1 against planted identical twins — the twin
+    // (cos 1.0) shares every LSH bucket, so the approximate path must
+    // return the exact top-1 for each query; oracle = exact cosine argmax.
+    // The k=5 recall/latency tradeoff is exercised in OpsSpec.
+    "q_ann_lsh_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val queries = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+        Similarity.lshTopK(embWithNearDups(s, dir), queries,
+          "embedding", "vec_id", k = 1, numPlanes = 4, numTables = 8)
+          .drop("cos")
+      },
+      s"""WITH $EmbNearDupSql
+         |SELECT query_id, corpus_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |               c.vec_id) AS rank
+         |  FROM embeddings q JOIN emb2 c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank = 1""".stripMargin))
+  )
 
-    // sentiment buckets via the deterministic scorer UDF (F15/A3)
-    "q_sentiment_buckets" -> ((s: SparkSession, dir: String) =>
-      TiebaAnalytics.sentimentCounts(repliesLike(s, dir))),
+  // ======================================================================
+  // golden-pinned queries: deterministic custom kernels (xxhash-seeded
+  // scorers, simhash, rolling fingerprints, synthetic generators) that no
+  // SQL engine can re-derive independently. The oracle is a precomputed
+  // expected-output VALUES table — computed once at the driver's
+  // correctness-gate scale (sf0.01), kernel-verified in ScalaTest — so
+  // regressions in these paths are driver-visible, not just spec-visible.
+  // ======================================================================
 
-    // corpus summary + containment join back to sources (F17/J2/O4)
-    "q_summary_containment" -> ((s: SparkSession, dir: String) =>
-      TiebaAnalytics.summaryWithSources(
-        repliesLike(s, dir).filter(col("post_id").cast("long") < 60))),
+  private val goldenBacked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
-    // document fingerprint (rolling hash)
-    "q_text_fingerprint" -> ((s: SparkSession, dir: String) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextOps.fingerprintUdf(col("text")).as("fp"))
-        .groupBy((col("fp") % 16).as("fp_bucket"))
-        .agg(count(lit(1)).as("cnt"))),
+    // SimHash near-dup pairs (GoldenValues pinned at sf0.01)
+    "q_dedup_simhash" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.simHashPairs(docsWithNearDups(s, dir), "text", "doc_id",
+          maxHamming = 3),
+      GoldenValues.simhash)),
+
+    // multimodal plumbing: binary payloads → per-partition feature batch;
+    // input is the deterministic synthetic media table (sf-independent)
+    "q_multimodal_features" -> ((
+      (s: SparkSession, dir: String) => {
+        val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
+        feats.toDF().groupBy(col("kind"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_frames")).as("total_frames"))
+      },
+      GoldenValues.multimodal)),
+
+    // sentiment buckets via the deterministic scorer UDF (F15/A3), with a
+    // ⌊score·1000⌋ checksum per bucket pinning the scorer's exact values
+    "q_sentiment_buckets" -> ((
+      (s: SparkSession, dir: String) =>
+        TiebaAnalytics.sentimentStats(repliesLike(s, dir)),
+      GoldenValues.sentiment)),
+
+    // corpus summary + containment join back to sources (F17/J2/O4);
+    // md5 digest of each summary so the golden stays compact while still
+    // pinning every byte of the selected sentences
+    "q_summary_containment" -> ((
+      (s: SparkSession, dir: String) =>
+        TiebaAnalytics.summaryWithSources(
+          repliesLike(s, dir).filter(col("post_id").cast("long") < 60))
+          .select(col("post_id"), col("reply_id"),
+            md5(col("summary").cast("binary")).as("summary_md5")),
+      GoldenValues.summary)),
+
+    // document fingerprint (rolling hash): per-doc 64-bit fingerprints on
+    // a fixed slice — pins the exact hash value of every row
+    "q_text_fingerprint" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp")),
+      GoldenValues.fingerprint)),
 
     // weibo pipeline: card filter → byte-identical regex clean → JSON
-    // record sink shape → display projection (S5/P8/F8/S11/S12/P13)
-    "q_weibo_pipeline" -> ((s: SparkSession, dir: String) => {
-      val cards = graft.analytics.WeiboPipeline.syntheticCards(s, 20, 10)
-      val processed = graft.analytics.WeiboPipeline.processCards(cards)
-      graft.analytics.WeiboPipeline.displayProjection(
-        graft.analytics.WeiboPipeline.toJsonRecords(processed), s)
-    })
+    // record sink shape → display projection (S5/P8/F8/S11/S12/P13),
+    // digested to one row (count + md5 over the canonically-ordered
+    // concatenation of every display field) — any byte drift flips the md5
+    "q_weibo_pipeline" -> ((
+      (s: SparkSession, dir: String) => {
+        val cards = graft.analytics.WeiboPipeline.syntheticCards(s, 20, 10)
+        val processed = graft.analytics.WeiboPipeline.processCards(cards)
+        val display = graft.analytics.WeiboPipeline.displayProjection(
+          graft.analytics.WeiboPipeline.toJsonRecords(processed), s)
+        val rowStr = concat_ws("", col("id"), col("time"), col("text"),
+          col("likes"), col("comments"), col("reposts"))
+        display.select(rowStr.as("r"))
+          .agg(count(lit(1)).as("n"),
+            md5(concat_ws("",
+              array_sort(collect_list(col("r")))).cast("binary")).as("digest"))
+      },
+      GoldenValues.weibo))
   )
+
+  private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   // streaming: tumbling-window agg via Structured Streaming, oracle = the
   // equivalent batch aggregation (complete mode over bounded input)
@@ -518,9 +647,10 @@ object Queries {
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    oracleBacked.map { case (k, (f, _)) => k -> f } ++
-      streaming.map { case (k, (f, _)) => k -> f } ++ rowsOnly
+    (oracleBacked ++ nearDupOracleBacked ++ goldenBacked ++ streaming)
+      .map { case (k, (f, _)) => k -> f } ++ rowsOnly
 
   def oracle: Map[String, String] =
-    (oracleBacked ++ streaming).map { case (k, (_, sql)) => k -> sql }
+    (oracleBacked ++ nearDupOracleBacked ++ goldenBacked ++ streaming)
+      .map { case (k, (_, sql)) => k -> sql }
 }

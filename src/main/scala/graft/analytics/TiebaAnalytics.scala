@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object TiebaAnalytics {
 
   private val sentimentBucketUdf = udf((t: String) => TextAnalysis.sentimentBucket(t))
+  private val sentimentUdf = udf((t: String) => TextAnalysis.sentiment(t))
   private val keywordsUdf = udf((t: String) => TextAnalysis.keywords(t, 5))
 
   /** A3: sentiment bucket counts over non-null reply contents. All three
@@ -29,6 +30,24 @@ object TiebaAnalytics {
     Seq("positive", "negative", "neutral").toDF("label")
       .join(counted, Seq("label"), "left")
       .select(col("label"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** A3 + F15 strengthened: bucket counts plus a per-bucket checksum of
+    * the raw scores (⌊score·1000⌋ summed) — pins the scorer's exact
+    * values, not just the bucket boundaries (all-neutral corpora would
+    * otherwise make the bucket counts insensitive to the jitter kernel). */
+  def sentimentStats(replies: DataFrame): DataFrame = {
+    val spark = replies.sparkSession
+    import spark.implicits._
+    val counted = replies.na.drop(Seq("content"))
+      .select(sentimentBucketUdf(col("content")).as("label"),
+        floor(sentimentUdf(col("content")) * 1000).cast("long").as("milli"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"), sum(col("milli")).as("score_milli_sum"))
+    Seq("positive", "negative", "neutral").toDF("label")
+      .join(counted, Seq("label"), "left")
+      .select(col("label"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("score_milli_sum"), lit(0L)).as("score_milli_sum"))
   }
 
   /** A1/A2/P9/O3: top-10 keywords — per-reply top-5 keyword extraction,

@@ -104,10 +104,14 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard) with
     * id_a < id_b and exact n-gram Jaccard ≥ threshold.
     *
-    * Shuffle profile: one shuffle keyed on (band, band_hash); candidate
-    * join is a self-equi-join on the bucket key (bounded bucket sizes at
-    * web scale because signatures of non-near-dups collide with
-    * probability ~s^r per band); exact verification only on candidates.
+    * Shuffle profile (the 100 TB story): the band shuffle carries ONLY
+    * (id, band, band_hash) — 24 bytes/row — never the shingle sets;
+    * candidate ids are distinct'd, then shingles are re-joined exactly
+    * once per side for verification (two hash joins keyed on id, each
+    * shuffling O(candidates) + one corpus pass). The r1 shape shuffled
+    * full shingle arrays bands× through the band join and distinct'd over
+    * them — ~corpus×bands bytes of shuffle; this is O(corpus ids ×
+    * bands + candidate shingles).
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 16, bands: Int = 4,
@@ -116,19 +120,24 @@ object Dedup {
     val sigUdf = minHashUdf(numHashes)
     val bandUdf = udf((sig: Seq[Long], b: Int) => bandHash(sig.toArray, b, rows))
     val shUdf = shinglesUdf(3)
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val banded = base
       .withColumn("sig", sigUdf(col("text")))
-      .withColumn("sh", shUdf(col("text")))
-    val banded = withSig.select(col("id"), col("sh"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
       .withColumn("bh", bandUdf(col("sig"), col("band")))
-      .select(col("id"), col("sh"), col("band"), col("bh"))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val jacUdf = udf((x: Seq[String], y: Seq[String]) => jaccard(x.toSet, y.toSet))
-    a.join(b, Seq("band", "bh"))
+      .select(col("id"), col("band"), col("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    // late materialization: shingles join only the candidate set
+    val sh = base.select(col("id"), shUdf(col("text")).as("sh"))
+    val jacUdf = udf((x: Seq[String], y: Seq[String]) => jaccard(x.toSet, y.toSet))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
