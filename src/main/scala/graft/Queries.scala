@@ -350,6 +350,29 @@ object Queries {
         |  '</?span[^>]*>', '', 'g') AS cleaned
         |FROM documents""".stripMargin)),
 
+    // S6/S8/S10: python-byte-compat CSV write → explicit-schema CSV scan →
+    // aggregate; the oracle aggregates the ORIGINAL parquet, so any byte
+    // lost or altered by the CSV encode/decode of arbitrary document text
+    // (quotes, commas, newlines, CJK) shifts cnt or sum(length) and fails
+    "q_s8_csv_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id").cast("string").as("post_id"),
+          col("lang").as("reply_id"),
+          col("text").as("content"),
+          lit("0").as("comment_num"))
+        val dest = java.nio.file.Files
+          .createTempDirectory("graft-csvq").toString + "/replies.csv"
+        graft.sources.CsvCompat.writeReplies(docs, dest)
+        graft.sources.CsvCompat.readReplies(s, dest)
+          .groupBy(col("reply_id").as("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(length(col("content"))).as("total_chars"))
+      },
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin)),
+
     // exact dedup: content-hash groupBy (md5 for oracle comparability)
     "q_dedup_exact" -> ((
       (s: SparkSession, dir: String) =>

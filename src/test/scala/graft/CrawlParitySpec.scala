@@ -96,6 +96,57 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(tn.nonEmpty)
   }
 
+  test("CSV sinks byte-identical to python-encoded simulator items (S6)") {
+    import graft.sources.CsvCompat
+    val spark = TestSpark.spark
+    val dir = TestSpark.tmpDir("parity-csv")
+    def bytes(p: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+
+    CsvCompat.writePosts(
+      Snapshots.readLatestTable(spark, engineWarehouse, "posts").get,
+      s"$dir/posts.csv")
+    val expPosts = sim.posts.sortBy(_.post_id)
+      .map(p => CsvCompat.encodeRowPy(Seq(p.post_id, p.title, p.reply_num)))
+      .mkString
+    assert(bytes(s"$dir/posts.csv").sameElements(expPosts.getBytes("UTF-8")))
+
+    CsvCompat.writeReplies(
+      Snapshots.readLatestTable(spark, engineWarehouse, "replies").get,
+      s"$dir/replies.csv")
+    val expReplies = sim.replies.sortBy(r => (r.post_id, r.reply_id))
+      .map(r => CsvCompat.encodeRowPy(
+        Seq(r.post_id, r.reply_id, r.content, r.comment_num))).mkString
+    assert(bytes(s"$dir/replies.csv")
+      .sameElements(expReplies.getBytes("UTF-8")))
+
+    CsvCompat.writeComments(
+      Snapshots.readLatestTable(spark, engineWarehouse, "comments").get,
+      s"$dir/comments.csv")
+    val expComments = sim.comments
+      .sortBy(c => (c.post_id, c.reply_id, c.content))
+      .map(c => CsvCompat.encodeRowPy(Seq(c.post_id, c.reply_id, c.content)))
+      .mkString
+    assert(bytes(s"$dir/comments.csv")
+      .sameElements(expComments.getBytes("UTF-8")))
+
+    // tieba_count via the forum-count aggregate (name-asc pinned order)
+    val counts = graft.analytics.TiebaAnalytics.forumCounts(
+      Snapshots.readLatestTable(spark, engineWarehouse, "tieba_names").get
+        .select(org.apache.spark.sql.functions.col("tieba")))
+    CsvCompat.writeTiebaCount(counts, s"$dir/tieba_count.csv")
+    val expCounts = sim.tiebaNames.map(_._2).filter(_.trim.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      .map { case (t, n) => CsvCompat.encodeRowPy(Seq(t, n.toString)) }
+      .mkString
+    assert(bytes(s"$dir/tieba_count.csv")
+      .sameElements(expCounts.getBytes("UTF-8")))
+
+    // and the explicit-schema scan reads the engine CSV back losslessly
+    val back = CsvCompat.readReplies(spark, s"$dir/replies.csv")
+    assert(back.count() == sim.replies.size.toLong)
+  }
+
   test("extracted text byte-identical for every fetched url") {
     val spark = TestSpark.spark
     val log = Snapshots.readLatestTable(spark, engineWarehouse, "fetch_log").get

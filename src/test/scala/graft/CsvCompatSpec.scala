@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.CsvCompat
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-compat contract for the CSV surface (S6/S8/S9/S10): engine output
+  * must equal REAL python csv.writer bytes (fixtures generated with
+  * python3 csv, dialect="excel" — the _golden.csv files under
+  * src/test/resources), and the readers must round-trip every tricky field
+  * (commas, doubled quotes, embedded CR/LF, CJK incl. full-width comma —
+  * which python does NOT quote — and empty fields). */
+class CsvCompatSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def resourceBytes(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(getClass.getResource("/" + name).toURI))
+
+  private def fileBytes(p: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(p))
+
+  private val replyRows = Seq(
+    ("1001", "2001", "plain content", "3"),
+    ("1001", "2002", "has, comma", "0"),
+    ("1002", "2003", "has \"quotes\" inside", "1"),
+    ("1002", "2004", "multi\nline\ncontent", "2"),
+    ("1003", "2005", "carriage\rreturn", "4"),
+    ("1003", "2006", "", "0"),
+    ("1004", "2007", "中文内容，带全角逗号。", "5"),
+    ("1004", "2008", "mixed \"quo\",te\nnew", "6"))
+
+  test("replies.csv bytes == python csv.writer bytes (S6)") {
+    // shuffled input: the writer owns the canonical (post_id, reply_id) sort
+    val df = scala.util.Random.shuffle(replyRows)
+      .toDF("post_id", "reply_id", "content", "comment_num")
+    val dest = TestSpark.tmpDir("csv") + "/replies.csv"
+    CsvCompat.writeReplies(df, dest)
+    assert(fileBytes(dest).sameElements(resourceBytes("replies_golden.csv")))
+    // the pure-Scala encoder agrees with python byte-for-byte too
+    val pure = replyRows.map(r =>
+      CsvCompat.encodeRowPy(Seq(r._1, r._2, r._3, r._4))).mkString
+    assert(pure.getBytes("UTF-8").sameElements(
+      resourceBytes("replies_golden.csv")))
+  }
+
+  test("posts.csv and tieba_count.csv bytes == python bytes (S6/S7)") {
+    val posts = Seq(("1001", "plain title", "10"),
+      ("1002", "title, with comma", "0"), ("1003", "带\"引号\"的标题", "7"))
+      .toDF("post_id", "title", "reply_num")
+    val pDest = TestSpark.tmpDir("csv-p") + "/posts.csv"
+    CsvCompat.writePosts(posts, pDest)
+    assert(fileBytes(pDest).sameElements(resourceBytes("posts_golden.csv")))
+
+    val counts = Seq(("forum_a", 3), ("forum_b", 1), ("中文吧", 12))
+      .toDF("tieba", "cnt")
+    val tDest = TestSpark.tmpDir("csv-t") + "/tieba_count.csv"
+    CsvCompat.writeTiebaCount(counts, tDest)
+    assert(fileBytes(tDest).sameElements(
+      resourceBytes("tieba_count_golden.csv")))
+  }
+
+  test("explicit-schema reader round-trips every field (S8)") {
+    val df = replyRows.toDF("post_id", "reply_id", "content", "comment_num")
+    val dest = TestSpark.tmpDir("csv-rt") + "/replies.csv"
+    CsvCompat.writeReplies(df, dest)
+    val back = CsvCompat.readReplies(spark, dest)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).getOrElse(""), r.getString(3))).toSet
+    assert(back == replyRows.toSet)
+  }
+
+  test("analysis bundle round-trip (S10 + read_analysis_from_csv)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id").cast("string").as("post_id"),
+        col("doc_id").cast("string").as("reply_id"),
+        col("text").as("content"), lit("0").as("comment_num"))
+    val summary = graft.analytics.TiebaAnalytics.summaryWithSources(docs)
+    val keywords = graft.analytics.TiebaAnalytics.keywordTop10(docs)
+      .withColumnRenamed("keyword", "keyword")
+    val sentiments = graft.analytics.TiebaAnalytics.sentimentCounts(docs)
+    val stats = graft.analytics.TiebaAnalytics.stats(docs)
+    val dir = TestSpark.tmpDir("bundle")
+    CsvCompat.writeAnalysisBundle(dir,
+      summary, keywords.withColumnRenamed("cnt", "cnt"),
+      sentiments, stats.select(col("key"), col("value").cast("string").as("value")))
+    val back = CsvCompat.readAnalysisBundle(spark, dir)
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(set(back.summary) == set(summary))
+    assert(set(back.keywords) == set(keywords))
+    assert(set(back.sentiments) == set(sentiments))
+    assert(set(back.stats) == set(stats
+      .select(col("key"), col("value").cast("string"))))
+    // all four artifacts exist as single CSV files
+    Seq("summary", "keywords", "sentiments", "stats").foreach(n =>
+      assert(Files.exists(Paths.get(s"$dir/$n.csv")), n))
+  }
+}
