@@ -117,6 +117,10 @@ object Bench {
     val ppsN4 = fetchedN4 / tN4
     val efficiency = (tN / tN4) / (n4.toDouble / n)
 
+    // O(delta)-frontier evidence: per-round wall time flat as the pending
+    // frontier grows 10× under a fixed budget (see FrontierBench)
+    val fbJson = FrontierBench.json(100000L, 10, 10, s"$work/fb")
+
     // query timings at full parallelism over the driver's sf dir
     val sQ = session(32)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -142,6 +146,7 @@ object Bench {
       s"""{"metric":"pages_fetched_extracted_per_sec","value":${f"$ppsN4%.1f"},""" +
         s""""unit":"pages/sec","queries":$qJson,"sf":"$sfDir",""" +
         s""""crawl":$crawlJson,""" +
+        s""""frontier_scaling":$fbJson,""" +
         s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}""")
   }
 }

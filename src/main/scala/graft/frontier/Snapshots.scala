@@ -29,11 +29,15 @@ object Snapshots {
   /** Physical per-round tables. `fetched` is the round's working set (url,
     * lineage columns, extracted `out` struct, text_match); item tables are
     * derived VIEWS over it at read time — one write per round instead of
-    * five, O(1) jobs per round. */
+    * five, O(1) jobs per round. The frontier is TIERED (TieredFrontier):
+    * `head`/`host_state` are small full-state tables, `backlog_add`/
+    * `backlog_rm`/`backlog_base` are delta segments. */
   val PhysicalTables: Seq[String] =
-    Seq("frontier", "seen_delta", "fetched", "misses")
+    Seq("head", "backlog_add", "backlog_rm", "backlog_base", "host_state",
+      "seen_delta", "fetched", "misses")
 
-  /** Logical tables exposed to readers. */
+  /** Logical tables exposed to readers (`frontier` = head ∪ pending
+    * backlog). */
   val Tables: Seq[String] =
     Seq("frontier", "seen_delta", "fetched", "misses", "posts", "replies",
       "comments", "tieba_names", "fetch_log")
@@ -43,14 +47,16 @@ object Snapshots {
 
   final case class Manifest(round: Int, parent: Int, frontierCount: Long,
                             seenDeltaCount: Long, fetched: Long, errors: Long,
-                            deduped: Long, lineage: Seq[PartitionLineage])
+                            deduped: Long, lineage: Seq[PartitionLineage],
+                            headCount: Long = 0L, backlogPending: Long = 0L,
+                            backlogPhysRows: Long = 0L, baseRound: Int = -1)
 
   def writeManifest(warehouse: String, m: Manifest): Unit = {
     val lineageJson = m.lineage.map(l =>
       s"""{"round":${l.round},"partition_id":${l.partition_id},"fetched":${l.fetched},"deduped":${l.deduped},"errors":${l.errors}}""")
       .mkString("[", ",", "]")
     val json =
-      s"""{"round":${m.round},"parent":${m.parent},"frontier_count":${m.frontierCount},"seen_delta_count":${m.seenDeltaCount},"fetched":${m.fetched},"errors":${m.errors},"deduped":${m.deduped},"lineage":$lineageJson}"""
+      s"""{"round":${m.round},"parent":${m.parent},"frontier_count":${m.frontierCount},"seen_delta_count":${m.seenDeltaCount},"fetched":${m.fetched},"errors":${m.errors},"deduped":${m.deduped},"head_count":${m.headCount},"backlog_pending":${m.backlogPending},"backlog_phys_rows":${m.backlogPhysRows},"base_round":${m.baseRound},"lineage":$lineageJson}"""
     val dir = Paths.get(snapDir(warehouse, m.round))
     Files.createDirectories(dir)
     val tmp = dir.resolve("manifest.json.tmp")
@@ -80,7 +86,10 @@ object Snapshots {
         extractLong(json, "parent").toInt,
         extractLong(json, "frontier_count"),
         extractLong(json, "seen_delta_count"), extractLong(json, "fetched"),
-        extractLong(json, "errors"), extractLong(json, "deduped"), lineage))
+        extractLong(json, "errors"), extractLong(json, "deduped"), lineage,
+        extractLong(json, "head_count"), extractLong(json, "backlog_pending"),
+        extractLong(json, "backlog_phys_rows"),
+        extractLong(json, "base_round").toInt))
     }
   }
 
@@ -135,8 +144,9 @@ object Snapshots {
     def fetched = readPhysical(spark, warehouse, "fetched", upToRound)
     table match {
       case "frontier" =>
-        existingDeltaPaths(warehouse, "frontier", upToRound).lastOption
-          .map(p => spark.read.parquet(p))
+        val baseRound = readManifest(warehouse, upToRound)
+          .map(_.baseRound).getOrElse(-1)
+        TieredFrontier.readPending(spark, warehouse, upToRound, baseRound)
       case "posts" => fetched.map(
         _.select(explode(col("out.posts")).as("p")).select(col("p.*")))
       case "replies" => fetched.map(

@@ -1,7 +1,7 @@
 package graft.round
 
 import graft.core.{Crawl, UrlCanon}
-import graft.frontier.{BloomSeen, FrontierEntry, PartitionLineage, Snapshots}
+import graft.frontier.{BloomSeen, FrontierEntry, PartitionLineage, Snapshots, TieredFrontier}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,32 +10,35 @@ import org.apache.spark.storage.StorageLevel
 /** One crawl round as a declarative Dataset pipeline (north_rule):
   *
   *   canonicalize → (already canonical on insert) → per-host window rank ≤
-  *   politeness budget → fetch (broadcast-join the bounded frontier slice
-  *   against the pages table — ONE scan of pages, adaptively
-  *   partition-pruned to the active host buckets) → extract via the shared
-  *   pure [[Crawl.process]] → ONE `fetched` working-set write (item tables
-  *   are views derived on read — see [[Snapshots]]) → explode discovered
-  *   links → Bloom pre-filter + exact confirm vs the seen set → append
-  *   to frontier.
+  *   politeness budget OVER THE FRONTIER HEAD ONLY → fetch (join the
+  *   bounded selected slice against the pages table — ONE scan of pages,
+  *   adaptively partition-pruned to the active host buckets) → extract via
+  *   the shared pure [[Crawl.process]] → ONE `fetched` working-set write
+  *   (item tables are views derived on read — see [[Snapshots]]) → explode
+  *   discovered links → Bloom pre-filter + exact confirm vs the seen set →
+  *   merge into the tiered frontier (head rewrite + backlog overflow delta
+  *   + bucket-pruned refill — see [[TieredFrontier]]).
   *
   * Scale/latency notes (the 100 TB story):
-  *  - the per-host `row_number` window shuffles ONLY the frontier (bounded
-  *    by politeness budget × #hosts per round), never the pages table;
-  *  - the fetch is `pages ⋈ broadcast(selected)` on (host_bucket, url):
-  *    inner join with the small side broadcast, pages streamed with no
-  *    shuffle; when the frontier is small the scan is statically pruned to
-  *    the disk partitions holding a selected host (literal IN);
-  *  - the round's CRITICAL PATH is two jobs — the fetch+extract write and
-  *    the frontier write. Everything else (lineage agg, miss log, seen
-  *    delta, Bloom delta build, selected count) runs as concurrent Spark
-  *    jobs off the critical path, and all bookkeeping counts are derived
-  *    arithmetically (frontier' = frontier - selected + new), never by
-  *    extra count jobs;
+  *  - per-round state touched is O(head + new links), NEVER O(total
+  *    frontier): the politeness window ranks only the per-host head
+  *    (≤ HeadFactor × budget entries/host) and the backlog is append/
+  *    tombstone deltas — the r1 full-frontier window + rewrite is gone;
+  *  - the fetch joins pages ⋈ selected on (host_bucket, url) with a
+  *    SIZE-GATED broadcast: selected is broadcast when its known row count
+  *    is under [[BroadcastRowGate]] (the steady-state case — bounded by
+  *    budget × hosts), and falls back to a plain equi-join (AQE-planned,
+  *    shuffled-hash) when a burst round exceeds it — never an unconditional
+  *    driver-side broadcast of an unbounded slice;
+  *  - the round's CRITICAL PATH is three jobs — fetch+extract write, head
+  *    write, backlog-delta write. Everything else (lineage agg, miss log,
+  *    seen delta, Bloom delta build, host-state upkeep) runs as concurrent
+  *    Spark jobs off the critical path, and all bookkeeping counts are
+  *    derived arithmetically (pending' = pending - selected + new);
   *  - discovered-link dedup is a groupBy on url (map-side partial agg),
   *    then a Bloom broadcast probe drops the overwhelmingly-seen majority;
-  *    suspects are confirmed WITHOUT shuffling the seen table (broadcast
-  *    semi-join against a streaming seen scan — no false negatives ⇒
-  *    correctness unaffected; see frontier/BloomSeen.scala).
+  *    suspects are confirmed WITHOUT shuffling the seen table (no false
+  *    negatives ⇒ correctness unaffected; see frontier/BloomSeen.scala).
   */
 object CrawlRound {
 
@@ -44,6 +47,20 @@ object CrawlRound {
   /** Static bucket pruning pays a small pre-job; only worth it when the
     * frontier is small enough that buckets are plausibly sparse. */
   val PruneThreshold = 100000L
+
+  /** Broadcast the selected slice into the fetch join only below this row
+    * count (~10 MB of url/host strings); above it a forced broadcast
+    * becomes a driver OOM at the 10^10 design point (16/host × 10^7 hosts
+    * ≈ 1.6e8 selected rows), so the join falls back to a plain equi-join
+    * and AQE plans it (shuffled-hash at these key counts). */
+  val BroadcastRowGate = 100000L
+
+  /** Carried frontier bookkeeping between rounds (persisted in the
+    * snapshot manifest): total pending, head/backlog split, physical
+    * backlog rows (incl. tombstoned), and the last compaction round. */
+  final case class FrontierState(pending: Long, headCount: Long,
+                                 backlogPending: Long, backlogPhysRows: Long,
+                                 baseRound: Int)
 
   // UDF-facing DTOs (Seq-of-case-class is encoder-friendly)
   final case class LinkDto(url: String, depth: Int, priority: Int)
@@ -60,9 +77,13 @@ object CrawlRound {
                                discoveredCount: Long,
                                newCount: Long,
                                dedupedCount: Long,
-                               frontierCount: Long,
+                               overflowCount: Long,
+                               refillCount: Long,
+                               state: FrontierState,
                                deltaBloom: Option[Array[Byte]],
-                               lineage: Seq[PartitionLineage])
+                               lineage: Seq[PartitionLineage]) {
+    def frontierCount: Long = state.pending
+  }
 
   def hostBucketOf(hostHash: Long): Int =
     (((hostHash % NumHostBuckets) + NumHostBuckets) % NumHostBuckets).toInt
@@ -79,20 +100,27 @@ object CrawlRound {
       pages.withColumn("host_bucket", expr("graft_host_bucket(url)"))
     }
 
-  /** Runs the round and writes `fetched` / `misses` / `frontier` /
-    * `seen_delta` into the round's snapshot dir (manifest is the caller's
-    * commit). `prevFrontierCount` lets all output counts be derived without
-    * count jobs; `expectedUrls` sizes the delta Bloom (same geometry as the
-    * cumulative filter so the driver can OR-merge). */
+  /** pages columns renamed for the fetch join. */
+  private def pagesB(p: DataFrame): DataFrame =
+    p.select(col("host_bucket"), col("url"),
+      col("warc_ts").as("page_warc_ts"), col("html"),
+      col("text").as("page_text"))
+
+  /** Runs the round and writes `fetched` / `misses` / `head` /
+    * `backlog_add` / `backlog_rm` / `host_state` / `seen_delta` into the
+    * round's snapshot dir (manifest is the caller's commit). `state` lets
+    * all output counts be derived without count jobs over big tables;
+    * `expectedUrls` sizes the delta Bloom (same geometry as the cumulative
+    * filter so the driver can OR-merge). */
   def run(spark: SparkSession,
-          frontier: Dataset[FrontierEntry],
+          head: DataFrame,
           pages: DataFrame,
           seen: DataFrame, // single column url_hash: Long (exact set)
           bloom: Array[Byte],
           cfg: Crawl.CrawlConfig,
           round: Int,
           warehouse: String,
-          prevFrontierCount: Long,
+          state: FrontierState,
           expectedUrls: Long,
           robots: Map[String, Vector[String]] = Map.empty): RoundResult = {
 
@@ -111,17 +139,22 @@ object CrawlRound {
       tPhase = now
     }
 
-    // ---- politeness: per-host budget via window rank (W1) --------------
+    val headCap = cfg.perHostBudget * TieredFrontier.HeadFactor
+
+    // ---- politeness: per-host budget via window rank (W1) over the HEAD
+    // only — O(active hosts × headCap) rows, never the whole frontier
     val orderCols = Seq(col("priority"), col("warc_ts"), col("url_hash"))
     val w = Window.partitionBy(col("host_hash")).orderBy(orderCols: _*)
-    val ranked = frontier.toDF().withColumn("rn", row_number().over(w))
+    val feColsC = TieredFrontier.feCols.map(col)
+    val ranked = head.select(feColsC: _*)
+      .withColumn("rn", row_number().over(w))
       .persist(StorageLevel.MEMORY_AND_DISK) // one window shuffle, reused
     var selected = ranked.filter(col("rn") <= cfg.perHostBudget).drop("rn")
-    var deferred = ranked.filter(col("rn") > cfg.perHostBudget).drop("rn")
+    var remaining = ranked.filter(col("rn") > cfg.perHostBudget).drop("rn")
     if (cfg.globalBudget > 0) {
       val capped = selected.orderBy(orderCols: _*).limit(cfg.globalBudget)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      deferred = deferred.unionByName(
+      remaining = remaining.unionByName(
         selected.join(capped.select("url_hash"), Seq("url_hash"), "left_anti"))
       selected = capped
     }
@@ -129,12 +162,15 @@ object CrawlRound {
       .withColumn("host_bucket",
         pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // known BEFORE the fetch join (head-sized count) so the broadcast
+    // decision is an explicit size gate, not a blind hint
+    val selectedCount = selectedP.count()
 
     // adaptive static bucket pruning: one tiny pre-job when the frontier is
     // small (sparse buckets likely); full scan + join otherwise
     val pagesBase = withHostBucket(pages)
     val pagesPruned =
-      if (prevFrontierCount >= 0 && prevFrontierCount < PruneThreshold) {
+      if (state.pending >= 0 && state.pending < PruneThreshold) {
         val activeBuckets = selectedP.select("host_bucket").distinct()
           .collect().map(_.getInt(0)).sorted
         pagesBase.filter(
@@ -142,14 +178,13 @@ object CrawlRound {
       } else pagesBase
     lap("rank")
 
-    // ---- fetch: pages ⋈ broadcast(selected) ----------------------------
-    val pagesB = pagesPruned.select(
-      col("host_bucket"), col("url"), col("warc_ts").as("page_warc_ts"),
-      col("html"), col("text").as("page_text"))
-    val hits = pagesB.join(
-      broadcast(selectedP.select("host_bucket", "url", "url_hash",
-        "host", "host_hash", "depth", "priority")),
-      Seq("host_bucket", "url"))
+    // ---- fetch: pages ⋈ selected, size-gated broadcast ------------------
+    val selectedSlim = selectedP.select("host_bucket", "url", "url_hash",
+      "host", "host_hash", "depth", "priority")
+    val fetchSide =
+      if (selectedCount <= BroadcastRowGate) broadcast(selectedSlim)
+      else selectedSlim // AQE plans the join (shuffled-hash at this size)
+    val hits = pagesB(pagesPruned).join(fetchSide, Seq("host_bucket", "url"))
 
     // ---- extract + emit via the shared pure function -------------------
     val cfgB = spark.sparkContext.broadcast(cfg)
@@ -176,7 +211,6 @@ object CrawlRound {
     val fetched = spark.read.parquet(path("fetched"))
 
     // off-critical-path concurrent jobs
-    val selectedCountF = Future { selectedP.count() }
     val lineageF = Future {
       fetched.groupBy(col("partition_id"))
         .agg(count(lit(1)).as("fetched"),
@@ -235,21 +269,20 @@ object CrawlRound {
     // is small (the steady-state crawl case — the Bloom already dropped
     // the novel majority) and falls back to a shuffled join when a burst
     // round produces millions of suspects (forcing a driver-side
-    // broadcast there serializes the round on the driver)
-    val matchedSeen = seen
-      .join(suspects.select("url_hash"), Seq("url_hash"), "left_semi")
-    val confirmedNew = suspects
-      .join(matchedSeen, Seq("url_hash"), "left_anti")
-    val feCols = Seq("url", "url_hash", "host", "host_hash", "priority",
-      "depth", "parent_url", "discovered_round", "warc_ts").map(col)
-    val newEntries = definitelyNew.select(feCols: _*)
-      .unionByName(confirmedNew.select(feCols: _*))
+    // broadcast there serializes the round on the driver).
+    // Zero-suspect rounds (Bloom cleared everything) skip the exact
+    // confirm entirely — otherwise every round pays an O(seen) scan for
+    // nothing, which grows with crawl age.
+    val confirmedNew =
+      if (suspects.isEmpty) suspects
+      else {
+        val matchedSeen = seen
+          .join(suspects.select("url_hash"), Seq("url_hash"), "left_semi")
+        suspects.join(matchedSeen, Seq("url_hash"), "left_anti")
+      }
+    val newEntries = definitelyNew.select(feColsC: _*)
+      .unionByName(confirmedNew.select(feColsC: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // critical-path job #2
-    deferred.select(feCols: _*).unionByName(newEntries)
-      .write.mode("overwrite").parquet(path("frontier"))
-    lap("frontier-write")
 
     // delta Bloom + new count in ONE small job over the cached delta;
     // seen_delta persisted sorted for parquet min/max range pruning at scale
@@ -265,11 +298,160 @@ object CrawlRound {
         .write.mode("overwrite").parquet(path("seen_delta"))
     }
 
+    // ---- tiered-frontier maintenance (head rewrite + backlog deltas) ----
+    // Invariant to preserve (per host): every backlog entry orders AFTER
+    // every head entry in the politeness key (priority, warc_ts, url_hash),
+    // so head-only selection equals full-frontier selection. host_state
+    // carries the backlog's per-host MINIMUM key (`bmin`): new entries
+    // ranking worse than bmin go straight to the backlog (they must not
+    // jump ahead of backlogged work); entries better than bmin compete for
+    // the head. All O(head + new) — backlog size irrelevant.
+    val keyCol = struct(col("priority"), col("warc_ts"), col("url_hash"))
+    val prevHostState =
+      TieredFrontier.readHostState(spark, warehouse, round - 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val newWithMin = newEntries.join(
+      prevHostState.filter(col("backlog_count") > 0)
+        .select(col("host_hash"), col("bmin")),
+      Seq("host_hash"), "left")
+    val newBetter = newWithMin
+      .filter(col("bmin").isNull || keyCol < col("bmin")).drop("bmin")
+    val newWorse = newWithMin
+      .filter(col("bmin").isNotNull && keyCol > col("bmin")).drop("bmin")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merged = remaining.select(feColsC: _*)
+      .unionByName(newBetter.select(feColsC: _*))
+    val mranked = merged.withColumn("rn", row_number().over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = mranked.filter(col("rn") <= headCap).drop("rn")
+    val overflow = mranked.filter(col("rn") > headCap).drop("rn")
+
+    // refill: hosts whose kept head dropped below the budget but still
+    // have backlog (per the PREVIOUS round's host_state — overflow needs
+    // merged > headCap ≥ budget, so overflow and refill hosts are
+    // disjoint). The backlog scan is pruned to the refilling hosts'
+    // buckets; this round's `newWorse` joins the refill pool so a fresh
+    // link can still be promoted if it outranks the backlog.
+    val keptCounts = kept.groupBy(col("host_hash"))
+      .agg(count(lit(1)).as("head_n"))
+    val refillNeeds = prevHostState.filter(col("backlog_count") > 0)
+      .join(keptCounts, Seq("host_hash"), "left")
+      .select(col("host_hash"),
+        coalesce(col("head_n"), lit(0L)).as("head_n"))
+      .filter(col("head_n") < cfg.perHostBudget)
+      .withColumn("need", lit(headCap.toLong) - col("head_n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val refillBuckets = refillNeeds
+      .select(pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int")
+        .as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+    val backlogOpt =
+      if (refillBuckets.isEmpty) None
+      else TieredFrontier.readBacklogPending(spark, warehouse,
+        state.baseRound, round - 1, Some(refillBuckets))
+    // (headOut, promotedFromBacklog, promotedFromNew, nextMins, rmCount)
+    val (headOut, rmRows, promotedNewRows, nextMins, rmCount) =
+      backlogOpt match {
+        case None =>
+          (kept, None: Option[DataFrame], None: Option[DataFrame],
+            None: Option[DataFrame], 0L)
+        case Some(backlog) =>
+          // map-side partial top-k: only the best rows per (input
+          // partition, host) reach the exact window — the refill shuffle
+          // is O(headCap × refill hosts), not O(backlog). Keep headCap+1
+          // so rank need+1 (the next backlog minimum) always survives.
+          val backlogTop = TieredFrontier.localTopKPerHost(
+            backlog.select(feColsC: _*), headCap + 1)
+          val pool = backlogTop
+            .select(feColsC :+ lit(true).as("from_backlog"): _*)
+            .unionByName(
+              newWorse.select(feColsC :+ lit(false).as("from_backlog"): _*))
+          val pranked = pool
+            .join(refillNeeds.select("host_hash", "need"), Seq("host_hash"))
+            .withColumn("rn", row_number().over(w))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val picks = pranked.filter(col("rn") <= col("need"))
+          // pool rank need+1 = the refilled host's NEW backlog minimum
+          // (accounts for both surviving backlog and unpicked new entries)
+          val nextMin = pranked.filter(col("rn") === col("need") + 1)
+            .select(col("host_hash"), keyCol.as("bmin_next"))
+          val rm = picks.filter(col("from_backlog"))
+            .select("url_hash", "host_hash")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val n = rm.count()
+          (kept.unionByName(picks.select(feColsC: _*)),
+            Some(rm),
+            Some(picks.filter(!col("from_backlog"))
+              .select("url_hash", "host_hash")),
+            Some(nextMin), n)
+      }
+
+    // critical-path job #2: the new head (small — O(hosts × headCap))
+    headOut.write.mode("overwrite").parquet(path("head"))
+    lap("head-write")
+
+    // backlog additions: head overflow + new entries that rank behind the
+    // backlog minimum, MINUS any promoted during refill
+    val backlogAdd = overflow
+      .unionByName(promotedNewRows match {
+        case Some(p) => newWorse.select(feColsC: _*)
+          .join(p.select("url_hash"), Seq("url_hash"), "left_anti")
+        case None => newWorse.select(feColsC: _*)
+      })
+      .withColumn("host_bucket",
+        pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val overflowCount = backlogAdd.count()
+
+    // backlog deltas + host-state upkeep, off the critical path
+    val backlogWriteF = Future {
+      if (overflowCount > 0)
+        backlogAdd.write.mode("overwrite").partitionBy("host_bucket")
+          .parquet(path("backlog_add"))
+      rmRows.foreach(p =>
+        p.write.mode("overwrite").parquet(path("backlog_rm")))
+    }
+    val hostStateF = Future {
+      val addStats = backlogAdd.groupBy(col("host_hash"))
+        .agg(count(lit(1)).as("d_add"), min(keyCol).as("add_min"))
+      val rmStats = rmRows.map(_.groupBy(col("host_hash"))
+        .agg(count(lit(1)).as("d_rm")))
+      var st = prevHostState
+        .join(addStats, Seq("host_hash"), "full_outer")
+      st = rmStats match {
+        case Some(r) => st.join(r, Seq("host_hash"), "full_outer")
+        case None    => st.withColumn("d_rm", lit(0L))
+      }
+      st = nextMins match {
+        case Some(nm) => st.join(nm, Seq("host_hash"), "full_outer")
+        case None     => st.withColumn("bmin_next", lit(null).cast(
+          "struct<priority:int,warc_ts:timestamp,url_hash:bigint>"))
+      }
+      // refilled hosts get the freshly-scanned minimum (null = drained;
+      // already covers entries added this round — they were in the pool);
+      // everyone else keeps least(old bmin, this round's added minimum)
+      val wasRefilled = refillNeeds.select(col("host_hash"),
+        lit(true).as("was_refilled"))
+      st.join(wasRefilled, Seq("host_hash"), "left")
+        .select(col("host_hash"),
+          (coalesce(col("backlog_count"), lit(0L)) +
+            coalesce(col("d_add"), lit(0L)) -
+            coalesce(col("d_rm"), lit(0L))).as("backlog_count"),
+          when(coalesce(col("was_refilled"), lit(false)), col("bmin_next"))
+            .otherwise(least(col("bmin"), col("add_min"))).as("bmin"))
+        .filter(col("backlog_count") > 0)
+        .coalesce(1) // tiny table; one valid footer even when empty
+        .write.mode("overwrite").parquet(path("host_state"))
+    }
+
     val lineageRows = Await.result(lineageF, Duration.Inf)
-    val selectedCount = Await.result(selectedCountF, Duration.Inf)
     val (deltaBloom, newCount) = Await.result(bloomCountF, Duration.Inf)
     Await.result(missesF, Duration.Inf)
     Await.result(seenWriteF, Duration.Inf)
+    Await.result(backlogWriteF, Duration.Inf)
+    Await.result(hostStateF, Duration.Inf)
     lap("await-side")
 
     val fetchedCount = lineageRows.map(_.getLong(1)).sum
@@ -284,17 +466,24 @@ object CrawlRound {
       s"round $round: fetched ($fetchedCount) > selected ($selectedCount); " +
         "pages table violates the unique-(host_bucket,url) contract")
     val dedupedCount = discoveredCount - newCount
-    // frontier' = frontier - selected + new: no count job
-    val frontierCount = prevFrontierCount - selectedCount + newCount
+    // all frontier bookkeeping is arithmetic — no count jobs on big tables
+    // (overflowCount = rows added to backlog; rmCount = rows promoted out)
+    val pending = state.pending - selectedCount + newCount
+    val backlogPending = state.backlogPending + overflowCount - rmCount
+    val newState = FrontierState(pending, pending - backlogPending,
+      backlogPending, state.backlogPhysRows + overflowCount, state.baseRound)
 
     val lineage = lineageRows.map(r =>
       PartitionLineage(round, r.getInt(0), r.getLong(1), 0L, 0L)).toSeq :+
       PartitionLineage(round, -1, 0L, dedupedCount, errorCount)
 
     ranked.unpersist(); selectedP.unpersist(); newEntries.unpersist()
-    suspects.unpersist()
+    suspects.unpersist(); mranked.unpersist(); backlogAdd.unpersist()
+    refillNeeds.unpersist(); newWorse.unpersist(); prevHostState.unpersist()
+    rmRows.foreach(_.unpersist())
 
     RoundResult(selectedCount, fetchedCount, errorCount, discoveredCount,
-      newCount, dedupedCount, frontierCount, deltaBloom, lineage)
+      newCount, dedupedCount, overflowCount, rmCount, newState,
+      deltaBloom, lineage)
   }
 }
