@@ -106,6 +106,19 @@ object CrawlRound {
       col("warc_ts").as("page_warc_ts"), col("html"),
       col("text").as("page_text"))
 
+  /** The fetch join with its size gate: broadcast the selected slice only
+    * when its KNOWN row count is under [[BroadcastRowGate]]; above it the
+    * join is left hint-free for AQE (shuffled-hash at these key counts) —
+    * a forced broadcast of an unbounded slice is a driver OOM at the
+    * design point. Mirrors the hint-free seen-confirm join. */
+  def fetchJoin(pages: DataFrame, selected: DataFrame,
+                selectedCount: Long): DataFrame = {
+    val side =
+      if (selectedCount <= BroadcastRowGate) broadcast(selected)
+      else selected
+    pagesB(pages).join(side, Seq("host_bucket", "url"))
+  }
+
   /** Runs the round and writes `fetched` / `misses` / `head` /
     * `backlog_add` / `backlog_rm` / `host_state` / `seen_delta` into the
     * round's snapshot dir (manifest is the caller's commit). `state` lets
@@ -179,12 +192,10 @@ object CrawlRound {
     lap("rank")
 
     // ---- fetch: pages ⋈ selected, size-gated broadcast ------------------
-    val selectedSlim = selectedP.select("host_bucket", "url", "url_hash",
-      "host", "host_hash", "depth", "priority")
-    val fetchSide =
-      if (selectedCount <= BroadcastRowGate) broadcast(selectedSlim)
-      else selectedSlim // AQE plans the join (shuffled-hash at this size)
-    val hits = pagesB(pagesPruned).join(fetchSide, Seq("host_bucket", "url"))
+    val hits = fetchJoin(pagesPruned,
+      selectedP.select("host_bucket", "url", "url_hash", "host",
+        "host_hash", "depth", "priority"),
+      selectedCount)
 
     // ---- extract + emit via the shared pure function -------------------
     val cfgB = spark.sparkContext.broadcast(cfg)

@@ -80,6 +80,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("fetch join is size-gated: broadcast under the gate, shuffled above") {
+    import graft.round.CrawlRound
+    val pagesPath = TestSpark.tmpDir("plan-gate-pages")
+    spark.range(1000).selectExpr("cast(id % 64 as int) as host_bucket",
+      "concat('http://h', id, '.x/p') as url",
+      "timestamp'2019-01-01' as warc_ts", "cast('x' as binary) as html",
+      "'t' as text").write.mode("overwrite").parquet(pagesPath)
+    val pages = spark.read.parquet(pagesPath)
+    val selPath = TestSpark.tmpDir("plan-gate-sel")
+    spark.range(100).selectExpr("cast(id % 64 as int) as host_bucket",
+      "concat('http://h', id, '.x/p') as url")
+      .write.mode("overwrite").parquet(selPath)
+    val sel = spark.read.parquet(selPath)
+
+    val under = planOf(CrawlRound.fetchJoin(pages, sel, selectedCount = 100))
+    assert(under.contains("BroadcastHashJoin"), under.take(2000))
+
+    // above the gate the FORCED hint must be gone: with the cost-model
+    // broadcast disabled (as it would be for design-point stats), the
+    // plan falls back to a shuffled join — proving no hint survives
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val over = planOf(CrawlRound.fetchJoin(pages, sel,
+        selectedCount = CrawlRound.BroadcastRowGate + 1))
+      assert(!over.contains("BroadcastHashJoin"), over.take(2000))
+      assert(over.contains("SortMergeJoin") ||
+        over.contains("ShuffledHashJoin"), over.take(2000))
+      // and UNDER the gate the explicit hint overrides even a disabled
+      // cost model (steady-state rounds keep the single-scan fetch)
+      val underForced = planOf(
+        CrawlRound.fetchJoin(pages, sel, selectedCount = 100))
+      assert(underForced.contains("BroadcastHashJoin"), underForced.take(2000))
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("robots gate and host-bucket derivation run as native expressions, no UDF") {
     import spark.implicits._
     val rules = Map("tieba0.example.com" -> Vector("/p/comment"))
