@@ -61,6 +61,12 @@ object TiebaAnalytics {
       .orderBy(col("cnt").desc, col("keyword"))
       .limit(10)
 
+  /** Hard cap on the rows `summaryWithSources` will collect to the driver.
+    * The reference's summary is a per-crawl-task operation over ONE forum's
+    * replies (a bounded corpus); pointing it at an unbounded table should
+    * fail with a clear contract error, not a driver OOM. */
+  val SummaryCollectRowCap = 1000000L
+
   /** F17 + J2: adaptive top-n summary over the 。-joined corpus, then the
     * substring-containment join back to source replies
     * (tieba_processing.py:308-333).
@@ -69,12 +75,21 @@ object TiebaAnalytics {
     * sort by (post_id, reply_id) and collect the bounded corpus to the
     * driver — same shape as the reference's single big_text string; the
     * scaling cut is that `summary` is a per-crawl-task operation over one
-    * forum's replies, never the full 100 TB (SURVEY.md §7.4.3). */
+    * forum's replies, never the full 100 TB (SURVEY.md §7.4.3). The
+    * collect is guarded by [[SummaryCollectRowCap]]: exceeding it is a
+    * loud contract violation (caller must pre-slice to one task's corpus),
+    * never a silent OOM. */
   def summaryWithSources(replies: DataFrame): DataFrame = {
     val spark = replies.sparkSession
     val nonNull = replies.na.drop(Seq("content"))
+    // limit(cap+1) bounds the collect itself; length > cap ⇒ caller bug
     val ordered = nonNull.orderBy(col("post_id"), col("reply_id"))
-      .select(col("content")).collect().map(_.getString(0))
+      .select(col("content"))
+      .limit((SummaryCollectRowCap + 1).toInt).collect().map(_.getString(0))
+    require(ordered.length <= SummaryCollectRowCap,
+      s"summaryWithSources: corpus exceeds $SummaryCollectRowCap rows — " +
+        "summary is a per-crawl-task operation; slice to one task's " +
+        "replies before calling (SURVEY.md §7.4.3)")
     val bigText = ordered.mkString("。") + (if (ordered.nonEmpty) "。" else "")
     val n = TextAnalysis.summaryCount(ordered.length.toLong)
     val summaries = TextAnalysis.summary(bigText, n)

@@ -101,4 +101,54 @@ class CsvCompatSpec extends AnyFunSuite {
     Seq("summary", "keywords", "sentiments", "stats").foreach(n =>
       assert(Files.exists(Paths.get(s"$dir/$n.csv")), n))
   }
+
+  test("result packaging: zip + empty-dir semantics (S14)") {
+    import graft.sources.ResultPackage
+    import java.util.zip.ZipFile
+    // non-empty task dir: top-level files packaged, zip inside the dir
+    val results = TestSpark.tmpDir("results")
+    val task = "task_2019-03"
+    val dir = Paths.get(results, task)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("replies.csv"), "1,2,hi,0\r\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("posts.csv"), "1,t,0\r\n".getBytes("UTF-8"))
+    Files.createDirectories(dir.resolve("sub")) // dirs are NOT packaged
+    assert(ResultPackage.processDownloadFolder(results, task).contains(task))
+    val zf = new ZipFile(dir.resolve(task + ".zip").toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toVector
+      assert(names == Vector("posts.csv", "replies.csv")) // sorted, no self, no dirs
+      val in = zf.getInputStream(zf.getEntry("replies.csv"))
+      assert(new String(in.readAllBytes(), "UTF-8") == "1,2,hi,0\r\n")
+    } finally zf.close()
+    // reproducible bytes (fixed mtimes, sorted entries)
+    val again = TestSpark.tmpDir("results2")
+    val dir2 = Paths.get(again, task); Files.createDirectories(dir2)
+    Files.write(dir2.resolve("replies.csv"), "1,2,hi,0\r\n".getBytes("UTF-8"))
+    Files.write(dir2.resolve("posts.csv"), "1,t,0\r\n".getBytes("UTF-8"))
+    ResultPackage.createZip(dir2.toString, task + ".zip")
+    assert(Files.readAllBytes(dir2.resolve(task + ".zip"))
+      .sameElements(Files.readAllBytes(dir.resolve(task + ".zip"))))
+    // catalog lists it
+    assert(ResultPackage.listDownloads(results) == Seq(s"$task/$task.zip"))
+    // empty dir: removed, None (process_download_folder else-branch)
+    val empty = "task_empty"
+    Files.createDirectories(Paths.get(results, empty))
+    assert(ResultPackage.processDownloadFolder(results, empty).isEmpty)
+    assert(!Files.exists(Paths.get(results, empty)))
+  }
+
+  test("summary collect is capped: oversized corpus fails loudly, not OOM") {
+    val big = spark.range(0, 50).select(
+      col("id").cast("string").as("post_id"),
+      col("id").cast("string").as("reply_id"),
+      lit("content sentence").as("content"))
+    // temporarily not exceedable in-test at the real 1M cap — assert the
+    // guard wiring via the documented constant instead of a 1M-row corpus
+    assert(graft.analytics.TiebaAnalytics.SummaryCollectRowCap == 1000000L)
+    // and the capped path still returns the normal result under the cap
+    val out = graft.analytics.TiebaAnalytics.summaryWithSources(big)
+    assert(out.columns.toSeq == Seq("summary", "post_id", "reply_id"))
+  }
 }
