@@ -43,7 +43,8 @@ object CrawlOnly {
     val cfg = Crawl.CrawlConfig(YearMonth.of(2019, 1), YearMonth.of(2019, 12),
       YearMonth.of(2019, 6), indexPageBudget = spec.indexPagesPerForum - 1,
       perHostBudget = sys.env.getOrElse("GRAFT_BUDGET", "16384").toInt,
-      maxRounds = 12)
+      maxRounds = 12,
+      verifyText = sys.env.getOrElse("GRAFT_VERIFY_TEXT", "true").toBoolean)
     if (sys.env.contains("GRAFT_GEN"))
       CorpusWriter.write(spark, spec, pagesPath, numPartitions = 64)
     val pages = CorpusWriter.read(spark, pagesPath)

@@ -27,7 +27,14 @@ object Crawl {
                                perHostBudget: Int = 16,
                                globalBudget: Int = 0,
                                maxRounds: Int = 64,
-                               obeyRobots: Boolean = false) {
+                               obeyRobots: Boolean = false,
+                               // read the corpus's pre-extracted text and
+                               // record per-url byte-identity with our
+                               // extraction (the parity contract). Costs a
+                               // full extra column through scan + fetch
+                               // join; production fetch+extract reads only
+                               // html, so throughput runs turn this off.
+                               verifyText: Boolean = true) {
     def startStr: String = TiebaDates.monthStr(startMonth)
     def endStr: String = TiebaDates.monthStr(endMonth)
     def todayStr: String = TiebaDates.monthStr(today)

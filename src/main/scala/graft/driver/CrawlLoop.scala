@@ -117,13 +117,20 @@ object CrawlLoop {
         case None => CrawlRound.FrontierState(-1L, 0L, 0L, 0L, -1)
       }
 
+    // the cumulative Bloom lives in driver memory across rounds (it is
+    // merged here anyway); the per-round file write remains the resume
+    // source of truth, but steady-state rounds never re-read it from disk
+    var bloomBytes: Array[Byte] = null
+
     while (state.pending != 0L && round <= cfg.maxRounds &&
       !Files.exists(Paths.get(warehouse, CancelMarker))) {
       val prev = round - 1
       val head = TieredFrontier.readHead(spark, warehouse, prev)
       val seen = Snapshots.readTable(spark, warehouse, "seen_delta", prev)
         .getOrElse(spark.emptyDataset[Long].toDF("url_hash"))
-      val bloom = Snapshots.readBloom(warehouse, prev)
+      val bloom =
+        if (bloomBytes != null) bloomBytes
+        else Snapshots.readBloom(warehouse, prev)
 
       // the round writes fetched/misses/head/backlog deltas/host_state/
       // seen_delta itself; manifest below is the commit marker
@@ -145,6 +152,7 @@ object CrawlLoop {
         case None        => bloom
       }
       Snapshots.writeBloom(warehouse, round, merged)
+      bloomBytes = merged
       state = res.state
 
       // amortized backlog compaction: rewrite pending as a fresh base once

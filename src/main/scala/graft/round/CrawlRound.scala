@@ -49,11 +49,21 @@ object CrawlRound {
   val PruneThreshold = 100000L
 
   /** Broadcast the selected slice into the fetch join only below this row
-    * count (~10 MB of url/host strings); above it a forced broadcast
-    * becomes a driver OOM at the 10^10 design point (16/host × 10^7 hosts
-    * ≈ 1.6e8 selected rows), so the join falls back to a plain equi-join
-    * and AQE plans it (shuffled-hash at these key counts). */
-  val BroadcastRowGate = 100000L
+    * count (~30-70 MB as a JVM broadcast relation). Measured on the bench
+    * corpus (interleaved A/B, 2 reps, BASELINE.md): broadcasting 1.1-1.4M
+    * row slices LOST to the Bloom-prefiltered equi-join at both local[2]
+    * and local[8] (driver collect + relation build + rebroadcast per round
+    * dominate), while ≤100k-row slices win with broadcast. Above the gate
+    * (the 10^10 design point is 16/host × 10^7 hosts ≈ 1.6e8 selected rows
+    * — a guaranteed driver OOM if forced) the join is a plain equi-join
+    * with a [[fetchJoin selected-slice Bloom]] pushed into the pages scan,
+    * so the shuffle moves O(selected) pages, never the whole corpus. */
+  val BroadcastRowGate = 250000L
+
+  /** Deploy-time tuning escape hatch for the gate (cluster memory and
+    * selected-row width vary); the constant above is the default. */
+  def broadcastRowGate: Long =
+    sys.env.get("GRAFT_BCAST_GATE").map(_.toLong).getOrElse(BroadcastRowGate)
 
   /** Carried frontier bookkeeping between rounds (persisted in the
     * snapshot manifest): total pending, head/backlog split, physical
@@ -100,24 +110,47 @@ object CrawlRound {
       pages.withColumn("host_bucket", expr("graft_host_bucket(url)"))
     }
 
-  /** pages columns renamed for the fetch join. */
-  private def pagesB(p: DataFrame): DataFrame =
-    p.select(col("host_bucket"), col("url"),
-      col("warc_ts").as("page_warc_ts"), col("html"),
-      col("text").as("page_text"))
-
-  /** The fetch join with its size gate: broadcast the selected slice only
-    * when its KNOWN row count is under [[BroadcastRowGate]]; above it the
-    * join is left hint-free for AQE (shuffled-hash at these key counts) —
-    * a forced broadcast of an unbounded slice is a driver OOM at the
-    * design point. Mirrors the hint-free seen-confirm join. */
-  def fetchJoin(pages: DataFrame, selected: DataFrame,
-                selectedCount: Long): DataFrame = {
-    val side =
-      if (selectedCount <= BroadcastRowGate) broadcast(selected)
-      else selected
-    pagesB(pages).join(side, Seq("host_bucket", "url"))
+  /** pages columns renamed for the fetch join. The corpus's pre-extracted
+    * `text` column rides along ONLY when the caller verifies extraction
+    * byte-identity — it is a whole extra text column through the scan and
+    * (above-gate) the shuffle, which production fetch+extract never reads. */
+  private def pagesB(p: DataFrame, withText: Boolean): DataFrame = {
+    val base = Seq(col("host_bucket"), col("url"),
+      col("warc_ts").as("page_warc_ts"), col("html"))
+    p.select(base ++ (if (withText) Seq(col("text").as("page_text"))
+                      else Nil): _*)
   }
+
+  /** The fetch join with its size gate: broadcast the selected slice when
+    * its KNOWN row count is under [[BroadcastRowGate]] — the pages scan is
+    * then never shuffled at all. Above the gate (burst rounds / the 10^10
+    * design point, where a forced broadcast is a driver OOM) the join
+    * falls back to a plain equi-join, but with a RUNTIME ROW-LEVEL FILTER:
+    * a Bloom over the selected slice's url hashes probed on the scan side
+    * (codegen'd hash + broadcast probe, no false negatives), so only
+    * ~selected-many pages (+ ~1% fp) enter the shuffle instead of the
+    * whole corpus — at 100 TB that is the difference between shuffling
+    * gigabytes and shuffling the dataset. AQE plans the residual join
+    * (shuffled-hash at these key counts). */
+  def fetchJoin(pages: DataFrame, selected: DataFrame,
+                selectedCount: Long,
+                selectedBloom: Option[Array[Byte]] = None,
+                withText: Boolean = true): DataFrame =
+    if (selectedCount <= broadcastRowGate)
+      pagesB(pages, withText).join(broadcast(selected),
+        Seq("host_bucket", "url"))
+    else {
+      val scanSide = selectedBloom match {
+        case Some(b) =>
+          val spark = pages.sparkSession
+          graft.expressions.UrlExpressions.register(spark)
+          val bc = spark.sparkContext.broadcast(b)
+          pagesB(pages, withText).filter(
+            BloomSeen.mightContainCol(bc, expr("graft_url_hash(url)")))
+        case None => pagesB(pages, withText)
+      }
+      scanSide.join(selected, Seq("host_bucket", "url"))
+    }
 
   /** Runs the round and writes `fetched` / `misses` / `head` /
     * `backlog_add` / `backlog_rm` / `host_state` / `seen_delta` into the
@@ -192,10 +225,19 @@ object CrawlRound {
     lap("rank")
 
     // ---- fetch: pages ⋈ selected, size-gated broadcast ------------------
+    // above-gate rounds build a selected-slice Bloom (one small agg over
+    // the cached slice) to push into the pages scan — see fetchJoin
+    graft.expressions.UrlExpressions.register(spark)
+    val selectedBloom =
+      if (selectedCount > broadcastRowGate) {
+        val agg = BloomSeen.bloomBuildUdaf(math.max(selectedCount, 1L << 16))
+        val row = selectedP.agg(agg(col("url_hash")).as("b")).collect()(0)
+        if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+      } else None
     val hits = fetchJoin(pagesPruned,
       selectedP.select("host_bucket", "url", "url_hash", "host",
         "host_hash", "depth", "priority"),
-      selectedCount)
+      selectedCount, selectedBloom, withText = cfg.verifyText)
 
     // ---- extract + emit via the shared pure function -------------------
     val cfgB = spark.sparkContext.broadcast(cfg)
@@ -208,12 +250,18 @@ object CrawlRound {
     // every downstream consumer re-reads this bounded working set.
     // (dictionary encoding off: text/urls are unique per row — the encoder
     // would only buffer and fall back, the hottest write frame in JFR)
+    // text_match column is stable in the fetched schema; when verification
+    // is off (production/throughput runs) it is vacuously true rather than
+    // a per-row compare against a corpus column we then never read
     hits
       .withColumn("out", processUdf(col("url"), col("html")))
-      .withColumn("text_match", col("out.text") === col("page_text"))
+      .withColumn("text_match",
+        if (cfg.verifyText) col("out.text") === col("page_text")
+        else lit(true))
       .withColumn("partition_id", spark_partition_id())
       .withColumn("round", lit(round))
-      .drop("html", "page_text")
+      .drop((Seq("html") ++
+        (if (cfg.verifyText) Seq("page_text") else Nil)): _*)
       .write.mode("overwrite")
       .option("parquet.enable.dictionary", "false")
       .parquet(path("fetched"))
@@ -334,10 +382,28 @@ object CrawlRound {
 
     val merged = remaining.select(feColsC: _*)
       .unionByName(newBetter.select(feColsC: _*))
-    val mranked = merged.withColumn("rn", row_number().over(w))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val kept = mranked.filter(col("rn") <= headCap).drop("rn")
-    val overflow = mranked.filter(col("rn") > headCap).drop("rn")
+    // Overflow probe: a map-side-combined per-host count (≤ one row per
+    // active host) instead of an unconditional row_number over the whole
+    // merged set — the common round has NO host over headCap, so merged
+    // passes straight through and the O(n log n) per-host sort is skipped;
+    // only over-cap hosts' rows (burst rounds) pay the window.
+    val overHosts = merged.groupBy(col("host_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > headCap)
+      .select("host_hash").persist(StorageLevel.MEMORY_AND_DISK)
+    var overRanked: Option[DataFrame] = None
+    val (kept, overflow) =
+      if (overHosts.isEmpty) (merged, merged.limit(0))
+      else {
+        // AQE broadcasts overHosts when few hosts burst (the usual case)
+        val over = merged.join(overHosts, Seq("host_hash"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        overRanked = Some(over)
+        (merged.join(overHosts, Seq("host_hash"), "left_anti")
+          .unionByName(over.filter(col("rn") <= headCap).drop("rn")),
+          over.filter(col("rn") > headCap).drop("rn"))
+      }
 
     // refill: hosts whose kept head dropped below the budget but still
     // have backlog (per the PREVIOUS round's host_state — overflow needs
@@ -362,12 +428,15 @@ object CrawlRound {
       if (refillBuckets.isEmpty) None
       else TieredFrontier.readBacklogPending(spark, warehouse,
         state.baseRound, round - 1, Some(refillBuckets))
-    // (headOut, promotedFromBacklog, promotedFromNew, nextMins, rmCount)
-    val (headOut, rmRows, promotedNewRows, nextMins, rmCount) =
+    // (headOut, promotedFromBacklog, promotedFromNew, nextMins, rmCountF)
+    // rmCount is bookkeeping-only (pending arithmetic at the end), so it
+    // runs as a concurrent job, never a barrier before the head write
+    var prankedP: Option[DataFrame] = None
+    val (headOut, rmRows, promotedNewRows, nextMins, rmCountF) =
       backlogOpt match {
         case None =>
           (kept, None: Option[DataFrame], None: Option[DataFrame],
-            None: Option[DataFrame], 0L)
+            None: Option[DataFrame], Future.successful(0L))
         case Some(backlog) =>
           // map-side partial top-k: only the best rows per (input
           // partition, host) reach the exact window — the refill shuffle
@@ -383,6 +452,7 @@ object CrawlRound {
             .join(refillNeeds.select("host_hash", "need"), Seq("host_hash"))
             .withColumn("rn", row_number().over(w))
             .persist(StorageLevel.MEMORY_AND_DISK)
+          prankedP = Some(pranked)
           val picks = pranked.filter(col("rn") <= col("need"))
           // pool rank need+1 = the refilled host's NEW backlog minimum
           // (accounts for both surviving backlog and unpicked new entries)
@@ -391,12 +461,11 @@ object CrawlRound {
           val rm = picks.filter(col("from_backlog"))
             .select("url_hash", "host_hash")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          val n = rm.count()
           (kept.unionByName(picks.select(feColsC: _*)),
             Some(rm),
             Some(picks.filter(!col("from_backlog"))
               .select("url_hash", "host_hash")),
-            Some(nextMin), n)
+            Some(nextMin), Future(rm.count()))
       }
 
     // critical-path job #2: the new head (small — O(hosts × headCap))
@@ -414,15 +483,18 @@ object CrawlRound {
       .withColumn("host_bucket",
         pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val overflowCount = backlogAdd.count()
 
-    // backlog deltas + host-state upkeep, off the critical path
+    // backlog deltas + host-state upkeep, off the critical path; the
+    // overflow count (bookkeeping) rides the same future as the write —
+    // never a serial job between the head write and the side jobs
     val backlogWriteF = Future {
+      val overflowCount = backlogAdd.count()
       if (overflowCount > 0)
         backlogAdd.write.mode("overwrite").partitionBy("host_bucket")
           .parquet(path("backlog_add"))
       rmRows.foreach(p =>
         p.write.mode("overwrite").parquet(path("backlog_rm")))
+      overflowCount
     }
     val hostStateF = Future {
       val addStats = backlogAdd.groupBy(col("host_hash"))
@@ -461,7 +533,8 @@ object CrawlRound {
     val (deltaBloom, newCount) = Await.result(bloomCountF, Duration.Inf)
     Await.result(missesF, Duration.Inf)
     Await.result(seenWriteF, Duration.Inf)
-    Await.result(backlogWriteF, Duration.Inf)
+    val overflowCount = Await.result(backlogWriteF, Duration.Inf)
+    val rmCount = Await.result(rmCountF, Duration.Inf)
     Await.result(hostStateF, Duration.Inf)
     lap("await-side")
 
@@ -489,7 +562,9 @@ object CrawlRound {
       PartitionLineage(round, -1, 0L, dedupedCount, errorCount)
 
     ranked.unpersist(); selectedP.unpersist(); newEntries.unpersist()
-    suspects.unpersist(); mranked.unpersist(); backlogAdd.unpersist()
+    suspects.unpersist(); merged.unpersist(); overHosts.unpersist()
+    overRanked.foreach(_.unpersist()); prankedP.foreach(_.unpersist())
+    backlogAdd.unpersist()
     refillNeeds.unpersist(); newWorse.unpersist(); prevHostState.unpersist()
     rmRows.foreach(_.unpersist())
 

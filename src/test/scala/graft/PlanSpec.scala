@@ -114,6 +114,24 @@ class PlanSpec extends AnyFunSuite {
       val underForced = planOf(
         CrawlRound.fetchJoin(pages, sel, selectedCount = 100))
       assert(underForced.contains("BroadcastHashJoin"), underForced.take(2000))
+
+      // above-gate WITH the selected-slice Bloom: the runtime row-level
+      // filter must land on the pages scan side (below the join), so the
+      // shuffle moves O(selected) pages, never the corpus — and the join
+      // output is unchanged vs the unfiltered fallback (no false negatives)
+      graft.expressions.UrlExpressions.register(spark)
+      val bloom = graft.frontier.BloomSeen.empty(1000)
+      spark.range(100).selectExpr("concat('http://h', id, '.x/p') as url")
+        .collect().foreach(r => graft.frontier.BloomSeen.put(bloom,
+          graft.core.UrlCanon.urlHash(r.getString(0))))
+      val filteredJoin = CrawlRound.fetchJoin(pages, sel,
+        CrawlRound.BroadcastRowGate + 1, Some(bloom))
+      val overF = planOf(filteredJoin)
+      assert(!overF.contains("BroadcastHashJoin"), overF.take(2000))
+      assert(overF.contains("Filter"), overF.take(2000))
+      val unfiltered = CrawlRound.fetchJoin(pages, sel,
+        CrawlRound.BroadcastRowGate + 1, None)
+      assert(filteredJoin.count() == unfiltered.count())
     } finally spark.conf.set(thresholdKey, saved)
   }
 
