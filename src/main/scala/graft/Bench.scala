@@ -150,7 +150,7 @@ object Bench {
 
     // O(delta)-frontier evidence: per-round wall time flat as the pending
     // frontier grows 10× under a fixed budget (see FrontierBench)
-    val fbJson = FrontierBench.json(100000L, 10, 10, s"$work/fb")
+    val fbJson = FrontierBench.json(100000L, 30, 10, s"$work/fb")
 
     // query timings at full parallelism over the driver's sf dir
     val sQ = session(32)

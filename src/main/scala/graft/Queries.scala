@@ -429,7 +429,59 @@ object Queries {
         |        len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
         |        length(text) - length(regexp_replace(text, '[[:punct:]。，！？]', '', 'g')) AS n_punct
         |      FROM documents)
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // F18: percentage display (analysis.tieba.display.js:152-153 renders
+    // round(cnt/total*100, 1)); integer-exact re-expression as floor
+    // tenths-of-a-percent (documented deviation: floor vs JS round — the
+    // display rounding is presentation-side, the operator is the ratio)
+    "q_f18_percentage" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("event_type"), col("cnt"),
+            expr("cnt * 1000 DIV sum(cnt) OVER ()").as("pct_tenths")),
+      """SELECT event_type, cnt, cnt * 1000 // SUM(cnt) OVER () AS pct_tenths
+        |FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)""".stripMargin)),
+
+    // Gopher/C4 pre-training quality gates: per-doc integer metrics + the
+    // keep conjunction, all codegen'd column algebra (TextOps)
+    "q_text_gopher_c4" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextOps.wsTokenCount(col("text")).as("n_words"),
+          TextOps.tokenCharCount(col("text")).as("sum_len"),
+          TextOps.symbolCount(col("text")).as("n_symbols"),
+          TextOps.alphaTokenCount(col("text")).as("n_alpha"),
+          TextOps.stopwordCount(col("text")).as("n_stop"),
+          TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+          TextOps.sentenceCount(col("text")).as("n_sentences"))
+        d.select(col("doc_id"), col("n_words"), col("n_alpha"),
+          col("n_distinct"), col("n_sentences"),
+          TextOps.gopherC4Keep(col("text"), col("n_words"), col("sum_len"),
+            col("n_symbols"), col("n_alpha"), col("n_stop"),
+            col("n_distinct"), col("n_sentences")).as("keep"))
+      },
+      """SELECT doc_id, n_words, n_alpha, n_distinct, n_sentences,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND 3*n_words <= sum_len AND sum_len <= 10*n_words
+        |   AND 10*n_symbols < n_words
+        |   AND 5*n_alpha >= 4*n_words
+        |   AND n_stop >= 2
+        |   AND 10*n_distinct >= 7*n_words
+        |   AND n_sentences >= 3
+        |   AND NOT contains(text, '{')
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND regexp_matches(text, '[.!?。！？]"?$')) AS keep
+        |FROM (SELECT doc_id, text,
+        |   len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_words,
+        |   length(replace(text, ' ', '')) AS sum_len,
+        |   len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+        |   len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[A-Za-z\x{4e00}-\x{9fff}]'))) AS n_alpha,
+        |   len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','to','and','is','in','的','了','是'))) AS n_stop,
+        |   len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS n_distinct,
+        |   len(regexp_extract_all(text, '[.!?。！？]')) AS n_sentences
+        | FROM documents)""".stripMargin))
   )
 
   // ======================================================================

@@ -68,6 +68,51 @@ object TextOps {
       .when(nTokens < 10, "low_token")
       .otherwise("ok")
 
+  // ---- Gopher/C4-style corpus gates (column algebra, integer-exact) ------
+  // The standard published pre-training quality rules (Gopher §A1.1, C4
+  // §2.1) re-expressed as codegen'd column algebra with integer
+  // cross-multiplied thresholds — no floats, so the DuckDB oracle hashes
+  // identically; no UDF, so the whole filter runs in WholeStageCodegen.
+
+  /** Sum of token lengths under single-space tokenization (= chars minus
+    * spaces) — numerator of Gopher's mean-word-length gate. */
+  def tokenCharCount(text: Column): Column =
+    length(regexp_replace(text, " ", ""))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(filter(split(text, " "), t => length(t) > 0)))
+
+  /** Tokens containing at least one letter (latin or CJK) — Gopher's
+    * "80% of words contain an alphabetic character" gate. */
+  def alphaTokenCount(text: Column): Column =
+    size(filter(split(text, " "),
+      t => t.rlike("[A-Za-z\\u4e00-\\u9fff]")))
+
+  def sentenceCount(text: Column): Column =
+    regexp_count(text, lit("[.!?。！？]"))
+
+  /** Gopher's symbol-to-word markers (hash, ellipsis). */
+  def symbolCount(text: Column): Column =
+    regexp_count(text, lit("[#…]"))
+
+  /** The conjunction: Gopher word-count/mean-word-length/symbol-ratio/
+    * alpha-word/stopword/repetition gates + C4 terminal-punctuation,
+    * ≥3-sentence, no-brace, no-lorem-ipsum gates. All comparisons are
+    * integer cross-multiplications of the metric columns. */
+  def gopherC4Keep(text: Column, nWords: Column, sumLen: Column,
+                   nSymbols: Column, nAlpha: Column, nStop: Column,
+                   nDistinct: Column, nSentences: Column): Column =
+    nWords.between(50, 100000) &&
+      (lit(3) * nWords <= sumLen) && (sumLen <= lit(10) * nWords) &&
+      (lit(10) * nSymbols < nWords) &&
+      (lit(5) * nAlpha >= lit(4) * nWords) &&
+      (nStop >= 2) &&
+      (lit(10) * nDistinct >= lit(7) * nWords) &&
+      (nSentences >= 3) &&
+      !text.contains("{") &&
+      !lower(text).contains("lorem ipsum") &&
+      text.rlike("[.!?。！？]\"?$")
+
   // ---- document fingerprint (rolling hash, custom kernel) ---------------
 
   /** Polynomial rolling hash (Rabin–Karp style) over UTF-8 bytes: a

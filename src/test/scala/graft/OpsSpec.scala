@@ -122,4 +122,28 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.rollingFingerprint("a b") != TextOps.rollingFingerprint("b a"))
     assert(TextOps.rollingFingerprint("same") == TextOps.rollingFingerprint("same"))
   }
+
+  test("gopher/c4 gates: keep=true is reachable and each gate can reject") {
+    import spark.implicits._
+    // a document engineered to pass every gate: 60 distinct alphabetic
+    // words, ≥2 stopwords, ≥3 sentences, terminal punctuation, no braces
+    val good = (1 to 57).map(i => s"word$i").mkString(" ") +
+      " the of is. second sentence here. third one ends properly."
+    val bads = Seq(
+      "too short.",                                // word-count gate
+      good + " {",                                 // brace gate (and $)
+      good.replace(".", ""),                       // sentence/terminal gates
+      ("dup " * 60).trim + " the of is. two. three.") // repetition gate
+    val df = (good +: bads).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.gopherC4Keep($"text",
+        TextOps.wsTokenCount($"text"), TextOps.tokenCharCount($"text"),
+        TextOps.symbolCount($"text"), TextOps.alphaTokenCount($"text"),
+        TextOps.stopwordCount($"text"), TextOps.distinctTokenCount($"text"),
+        TextOps.sentenceCount($"text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(0L), "engineered-good doc must pass all gates")
+    (1L to 4L).foreach(i => assert(!out(i), s"bad doc $i must be rejected"))
+  }
 }
