@@ -431,6 +431,30 @@ object Queries {
         |      FROM documents)
         |GROUP BY 1""".stripMargin)),
 
+    // test-set decontamination: 13-gram overlap vs a (planted) benchmark
+    // table — benchmark grams broadcast, corpus never shuffled (Dedup)
+    "q_decontaminate" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") < 5).select(col("text"))
+        Dedup.decontaminate(docs, "text", "doc_id", bench, "text")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 11),
+        |                             i -> array_to_string(toks[i:i+12], ' '))
+        |    END)) AS g
+        |  FROM tok
+        |), bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+        |SELECT doc_id, count(*) AS shared_grams
+        |FROM grams JOIN bgrams USING (g)
+        |GROUP BY 1""".stripMargin)),
+
     // F18: percentage display (analysis.tieba.display.js:152-153 renders
     // round(cnt/total*100, 1)); integer-exact re-expression as floor
     // tenths-of-a-percent (documented deviation: floor vs JS round — the
@@ -713,12 +737,83 @@ object Queries {
     s.table(name)
   }
 
+  /** Stateful streaming sessionization: KeyValueGroupedDataset.
+    * flatMapGroupsWithState over per-user event streams, 30-minute
+    * inactivity gap — the custom-state streaming shape the windowed agg
+    * can't express. Bounded input + one trigger means each user's full
+    * history arrives in a single state call; the oracle is the classic
+    * batch gaps-and-islands SQL, so the state machine faces a hard
+    * equivalence gate. Timestamps ride as unix micros through the state
+    * function (java.sql.Timestamp.getTime would truncate to millis and
+    * silently shift session bounds). */
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = "stream_sess_" + math.abs(path.hashCode).toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val GapMicros = 30L * 60 * 1000000
+    val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .as[(Long, Long)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Int]) => {
+          val ts = rows.map(_._2).toArray.sorted
+          val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
+          var sessIdx = 0
+          var start = 0
+          var i = 1
+          while (i <= ts.length) {
+            if (i == ts.length || ts(i) - ts(i - 1) > GapMicros) {
+              out += ((user, sessIdx, (i - start).toLong, ts(start), ts(i - 1)))
+              sessIdx += 1
+              start = i
+            }
+            i += 1
+          }
+          out.result().iterator
+        })
+      .select(col("_1").as("user_id"), col("_2").as("session_idx"),
+        col("_3").as("n_events"),
+        timestamp_micros(col("_4")).as("session_start"),
+        timestamp_micros(col("_5")).as("session_end"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   private val streaming: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_t1_stream_window_agg" -> ((
       (s: SparkSession, dir: String) => streamWindowAgg(s, dir),
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin))
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    "q_t2_stream_sessionize" -> ((
+      (s: SparkSession, dir: String) => streamSessionize(s, dir),
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -98,6 +98,25 @@ object Dedup {
 
   private def shinglesUdf(n: Int) = udf((t: String) => shingles(t, n))
 
+  /** Test-set decontamination (the published 13-gram standard): flag
+    * corpus docs sharing any word n-gram with a benchmark/eval table.
+    * The benchmark side is tiny by construction (eval sets, not corpora),
+    * so its distinct grams BROADCAST as the join build side and doc grams
+    * stream past it — no shuffle of the corpus at 100 TB, one scan +
+    * broadcast probe. Returns (doc_id, shared_grams) for contaminated
+    * docs only. */
+  def decontaminate(docs: DataFrame, docText: String, docId: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 13): DataFrame = {
+    val shUdf = shinglesUdf(n)
+    val docGrams = docs.select(col(docId).as("doc_id"),
+      explode(array_distinct(shUdf(col(docText)))).as("g"))
+    val benchGrams = bench.select(
+      explode(array_distinct(shUdf(col(benchText)))).as("g")).distinct()
+    docGrams.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+  }
+
   def minHashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => minHashSignature(shingles(t, 3), k))
 

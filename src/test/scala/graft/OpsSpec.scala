@@ -123,6 +123,24 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.rollingFingerprint("same") == TextOps.rollingFingerprint("same"))
   }
 
+  test("decontamination flags exactly the docs sharing a 13-gram with the benchmark") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val bench = base.filter($"doc_id" < 3).select($"text")
+    val flagged = Dedup.decontaminate(base, "text", "doc_id", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted benchmark docs are contaminated by construction, with
+    // shared_grams = their own distinct gram count
+    (0L to 2L).foreach { id =>
+      val grams = Dedup.shingles(base.filter($"doc_id" === id)
+        .select("text").collect()(0).getString(0), 13).distinct.size
+      assert(flagged.get(id).contains(grams.toLong), s"doc $id")
+    }
+    // a doc sharing no 13-gram with the benchmark is NOT flagged: synthetic
+    // texts are hash-of-id unique, so most non-bench docs must be absent
+    assert(flagged.size < base.count(), "non-contaminated docs must pass")
+  }
+
   test("gopher/c4 gates: keep=true is reachable and each gate can reject") {
     import spark.implicits._
     // a document engineered to pass every gate: 60 distinct alphabetic
