@@ -39,9 +39,16 @@ object TiebaAnalytics {
   def sentimentStats(replies: DataFrame): DataFrame = {
     val spark = replies.sparkSession
     import spark.implicits._
+    // one kernel invocation per row: the bucket is a pure threshold of the
+    // score (TextAnalysis.sentimentBucket), so derive it as column algebra
+    // instead of re-running the tokenize+hash kernel a second time
     val counted = replies.na.drop(Seq("content"))
-      .select(sentimentBucketUdf(col("content")).as("label"),
-        floor(sentimentUdf(col("content")) * 1000).cast("long").as("milli"))
+      .select(sentimentUdf(col("content")).as("score"))
+      .select(
+        when(col("score") > 0.7, "positive")
+          .when(col("score") < 0.3, "negative")
+          .otherwise("neutral").as("label"),
+        floor(col("score") * 1000).cast("long").as("milli"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("cnt"), sum(col("milli")).as("score_milli_sum"))
     Seq("positive", "negative", "neutral").toDF("label")

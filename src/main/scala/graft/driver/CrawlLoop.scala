@@ -49,59 +49,85 @@ object CrawlLoop {
         sys.error(s"warehouse $warehouse already has snapshots; pass resume=true")
       case None =>
         // snapshot 0: seeds only (mirrors start_urls, PostSpider.py:40),
-        // split into head (per-host top-headCap) and backlog overflow
+        // split into head (per-host top-headCap) and backlog overflow.
+        // DISTRIBUTED: seed lists can be millions of urls (the bench's
+        // frontier harness seeds 3M); canonicalize/dedupe/rank/split as
+        // Dataset ops over a parallelized seed RDD — never driver-side
+        // scala sorting or one giant LocalRelation in the plan.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
         val epoch = new Timestamp(0L)
+        graft.expressions.UrlExpressions.register(spark)
+        val canonUdf = udf((u: String) => graft.core.UrlCanon.canonicalize(u))
+        val slices = math.max(1, math.min(64, seedUrls.size / 50000 + 1))
+        val raw = spark.createDataset(
+          spark.sparkContext.parallelize(seedUrls, slices)).toDF("raw_url")
         // canonical-identity dedupe BEFORE gating (the oracle simulator
         // dedupes seeds via seen.add — duplicate or alias-canonical seeds
         // must not double-enqueue; ADVICE r1)
-        val canonSeeds = seedUrls
-          .map(u => graft.core.UrlCanon.canonicalize(u)).distinct
-        val gatedSeeds =
-          if (cfg.obeyRobots && robots.nonEmpty)
-            canonSeeds.filter(u => graft.core.Robots.isAllowed(robots, u))
-          else canonSeeds
-        val seedEntries = gatedSeeds.map(u =>
-          FrontierEntry.fromUrl(u, 0, 0, "", 0, epoch))
-          .distinctBy(_.url_hash)
-        import org.apache.spark.sql.functions.{col, lit, pmod, struct}
-        val byHost = seedEntries.groupBy(_.host_hash).view.mapValues(
-          _.sortBy(e => (e.priority, e.warc_ts.getTime, e.url_hash))).toMap
-        val headSeeds = byHost.values.flatMap(_.take(headCap)).toSeq
-        val overflowByHost = byHost.view.mapValues(_.drop(headCap))
-          .filter(_._2.nonEmpty).toMap
-        val overflowSeeds = overflowByHost.values.flatten.toSeq
-        spark.createDataset(headSeeds).write.mode("overwrite")
+        var canon = raw.select(canonUdf(col("raw_url")).as("url"))
+        if (cfg.obeyRobots && robots.nonEmpty) {
+          graft.expressions.UrlExpressions.registerRobots(spark, robots)
+          canon = canon.filter(expr("graft_robots_allowed(url)"))
+        }
+        val entries = canon
+          .withColumn("url_hash", expr("graft_url_hash(url)"))
+          .dropDuplicates("url_hash")
+          .withColumn("host", expr("graft_url_host(url)"))
+          .withColumn("host_hash", expr("graft_url_hash(host)"))
+          .withColumn("priority", lit(0))
+          .withColumn("depth", lit(0))
+          .withColumn("parent_url", lit(""))
+          .withColumn("discovered_round", lit(0))
+          .withColumn("warc_ts", lit(epoch))
+          .select(TieredFrontier.feCols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = Window.partitionBy(col("host_hash"))
+          .orderBy(col("priority"), col("warc_ts"), col("url_hash"))
+        val ranked = entries.withColumn("rn", row_number().over(w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ranked.filter(col("rn") <= headCap).drop("rn")
+          .write.mode("overwrite")
           .parquet(TieredFrontier.headPath(warehouse, 0))
-        if (overflowSeeds.nonEmpty)
-          spark.createDataset(overflowSeeds)
-            .withColumn("host_bucket", pmod(col("host_hash"),
-              lit(CrawlRound.NumHostBuckets.toLong)).cast("int"))
+        val overflow = ranked.filter(col("rn") > headCap).drop("rn")
+        // host_state rows carry the backlog's per-host minimum key (the
+        // head/backlog ordering invariant — see TieredFrontier); derived
+        // with one tiny agg, and its collected rows (≤ overflowing hosts)
+        // give the manifest's overflow count without an extra job
+        val hostStateRows = overflow.groupBy(col("host_hash"))
+          .agg(count(lit(1)).as("backlog_count"),
+            min(struct(col("priority"), col("warc_ts"), col("url_hash")))
+              .as("bmin"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val overflowCount = hostStateRows
+          .agg(coalesce(sum(col("backlog_count")), lit(0L))).collect()(0)
+          .getLong(0)
+        if (overflowCount > 0)
+          overflow.withColumn("host_bucket",
+            CrawlRound.hostBucketCol(col("host_hash")))
             .write.mode("overwrite").partitionBy("host_bucket")
             .parquet(TieredFrontier.addPath(warehouse, 0))
-        // host_state rows carry the backlog's per-host minimum key (the
-        // head/backlog ordering invariant — see TieredFrontier)
-        val hostState = overflowByHost.map { case (hh, ov) =>
-          (hh, ov.size.toLong, ov.head.priority, ov.head.warc_ts,
-            ov.head.url_hash)
-        }.toSeq
-        spark.createDataset(hostState)
-          .toDF("host_hash", "backlog_count", "p", "t", "h")
-          .select(col("host_hash"), col("backlog_count"),
-            struct(col("p").as("priority"), col("t").as("warc_ts"),
-              col("h").as("url_hash")).as("bmin"))
-          .coalesce(1).write.mode("overwrite")
+        hostStateRows.coalesce(1).write.mode("overwrite")
           .parquet(TieredFrontier.hostStatePath(warehouse, 0))
-        spark.createDataset(seedEntries).select("url_hash")
+        entries.select("url_hash")
+          .sortWithinPartitions(col("url_hash"))
           .write.mode("overwrite")
           .parquet(Snapshots.tablePath(warehouse, 0, "seen_delta"))
-        val bloom = BloomSeen.empty(expectedUrls)
-        seedEntries.foreach(e => BloomSeen.put(bloom, e.url_hash))
+        // Bloom + seed count in one distributed agg (no driver put-loop)
+        val bloomAgg = BloomSeen.bloomBuildUdaf(expectedUrls)
+        val row = entries.agg(bloomAgg(col("url_hash")).as("b"),
+          count(lit(1)).as("n")).collect()(0)
+        val seedCount = row.getLong(1)
+        val bloom =
+          if (row.isNullAt(0)) BloomSeen.empty(expectedUrls)
+          else row.getAs[Array[Byte]](0)
         Snapshots.writeBloom(warehouse, 0, bloom)
         Snapshots.writeManifest(warehouse, Snapshots.Manifest(0, -1,
-          seedEntries.size.toLong, seedEntries.size.toLong, 0, 0, 0, Nil,
-          headCount = headSeeds.size.toLong,
-          backlogPending = overflowSeeds.size.toLong,
-          backlogPhysRows = overflowSeeds.size.toLong, baseRound = -1))
+          seedCount, seedCount, 0, 0, 0, Nil,
+          headCount = seedCount - overflowCount,
+          backlogPending = overflowCount,
+          backlogPhysRows = overflowCount, baseRound = -1))
+        entries.unpersist(); ranked.unpersist(); hostStateRows.unpersist()
         1
     }
 

@@ -156,8 +156,17 @@ object TieredFrontier {
               prevBaseRound: Int): Long = {
     val pending = readBacklogPending(spark, wh, prevBaseRound, round)
       .getOrElse(return 0L)
-    pending.write.mode("overwrite").partitionBy("host_bucket")
-      .parquet(basePath(wh, round))
-    spark.read.parquet(basePath(wh, round)).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a fully-tombstoned backlog must write NOTHING: a 0-row partitioned
+      // parquet write emits no part files, and every later read of that
+      // base dir would die on schema inference — skipping the write leaves
+      // no base dir, which readBacklogPending's existence filter handles
+      val n = pending.count()
+      if (n > 0)
+        pending.write.mode("overwrite").partitionBy("host_bucket")
+          .parquet(basePath(wh, round))
+      n
+    } finally pending.unpersist()
   }
 }

@@ -111,7 +111,10 @@ object TextOps {
       (nSentences >= 3) &&
       !text.contains("{") &&
       !lower(text).contains("lorem ipsum") &&
-      text.rlike("[.!?。！？]\"?$")
+      // \z, not $: Java-regex $ matches BEFORE a trailing newline while
+      // the DuckDB oracle's RE2 $ is absolute end-of-text — a doc ending
+      // in '\n' would diverge between engine and oracle under $
+      text.rlike("[.!?。！？]\"?\\z")
 
   // ---- document fingerprint (rolling hash, custom kernel) ---------------
 

@@ -98,6 +98,11 @@ object CrawlRound {
   def hostBucketOf(hostHash: Long): Int =
     (((hostHash % NumHostBuckets) + NumHostBuckets) % NumHostBuckets).toInt
 
+  /** host_hash → host_bucket as column algebra — the ONE definition of the
+    * frontier/pages co-location key (must agree with [[hostBucketOf]]). */
+  def hostBucketCol(hostHash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hostHash, lit(NumHostBuckets.toLong)).cast("int")
+
   /** pages with a host_bucket column: pass-through when the corpus writer
     * already partitioned by it; derived otherwise (input_hint tables have
     * exactly the 5 contract columns) via the native codegen'd expression —
@@ -205,8 +210,7 @@ object CrawlRound {
       selected = capped
     }
     val selectedP = selected
-      .withColumn("host_bucket",
-        pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int"))
+      .withColumn("host_bucket", hostBucketCol(col("host_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // known BEFORE the fetch join (head-sized count) so the broadcast
     // decision is an explicit size gate, not a blind hint
@@ -276,8 +280,15 @@ object CrawlRound {
           sum(size(col("out.links"))).as("links")).collect()
     }
     val missesF = Future {
+      // same size gate as the fetch join: fetched ≤ selected rows, so an
+      // above-gate round must NOT force a driver-side broadcast here
+      // either (it would reintroduce the OOM the gate exists to prevent)
+      val fetchedHashes = fetched.select("url_hash")
+      val side =
+        if (selectedCount <= broadcastRowGate) broadcast(fetchedHashes)
+        else fetchedHashes
       selectedP
-        .join(broadcast(fetched.select("url_hash")), Seq("url_hash"), "left_anti")
+        .join(side, Seq("url_hash"), "left_anti")
         .select(lit(round).as("round"), col("url"), col("url_hash"),
           col("host"), col("depth"))
         .write.mode("overwrite").parquet(path("misses"))
@@ -421,8 +432,7 @@ object CrawlRound {
       .withColumn("need", lit(headCap.toLong) - col("head_n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val refillBuckets = refillNeeds
-      .select(pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int")
-        .as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .select(hostBucketCol(col("host_hash")).as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
 
     val backlogOpt =
       if (refillBuckets.isEmpty) None
@@ -480,8 +490,7 @@ object CrawlRound {
           .join(p.select("url_hash"), Seq("url_hash"), "left_anti")
         case None => newWorse.select(feColsC: _*)
       })
-      .withColumn("host_bucket",
-        pmod(col("host_hash"), lit(NumHostBuckets.toLong)).cast("int"))
+      .withColumn("host_bucket", hostBucketCol(col("host_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // backlog deltas + host-state upkeep, off the critical path; the

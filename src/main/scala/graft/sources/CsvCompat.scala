@@ -61,13 +61,20 @@ object CsvCompat {
     * range-partitioned output in partition order, preserving the sort. */
   def writeSingleCsv(df: DataFrame, cols: Seq[Column], order: Seq[Column],
                      dest: String): Unit = {
-    val tmp = Files.createTempDirectory("graft-csv").toString
-    df.orderBy(order: _*).select(csvLines(cols).as("value"))
-      .coalesce(1).write.mode("overwrite").text(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
-      .startsWith("part-")).findFirst().orElseThrow()
-    Files.createDirectories(Paths.get(dest).getParent)
-    Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    val tmp = Files.createTempDirectory("graft-csv")
+    try {
+      df.orderBy(order: _*).select(csvLines(cols).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow()
+        finally listing.close()
+      val destPath = Paths.get(dest)
+      Option(destPath.getParent).foreach(Files.createDirectories(_))
+      Files.move(part, destPath, StandardCopyOption.REPLACE_EXISTING)
+    } finally
+      scala.reflect.io.Path(tmp.toFile).deleteRecursively()
   }
 
   // ---- S6: the four item-table writers (pipelines.py:25-67) --------------
@@ -97,14 +104,23 @@ object CsvCompat {
   // supplied headers; Spark gets explicit schemas — SURVEY S8/S9)
 
   private def readCsv(spark: SparkSession, schema: String,
-                      path: String): DataFrame =
-    spark.read.schema(StructType.fromDDL(schema))
+                      path: String): DataFrame = {
+    val df = spark.read.schema(StructType.fromDDL(schema))
       // escape = quote char ⇒ RFC4180 doubled-quote decoding (python compat);
       // multiLine so quoted embedded newlines parse (single-task per file —
       // fine for the per-task artifacts this surface serves)
       .option("quote", "\"").option("escape", "\"")
       .option("multiLine", "true")
       .csv(path)
+    // python csv has no null: an empty unquoted field IS the empty string
+    // (Spark's reader decodes it as null, which would change downstream
+    // na.drop row counts vs the reference)
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        coalesce(col(f.name), lit("")).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
 
   def readPosts(spark: SparkSession, path: String): DataFrame =
     readCsv(spark, "post_id STRING, title STRING, reply_num STRING", path)

@@ -67,9 +67,11 @@ class CsvCompatSpec extends AnyFunSuite {
     val df = replyRows.toDF("post_id", "reply_id", "content", "comment_num")
     val dest = TestSpark.tmpDir("csv-rt") + "/replies.csv"
     CsvCompat.writeReplies(df, dest)
+    // python csv has no null: the empty content field must read back as ""
+    // (not null), or downstream na.drop counts diverge from the reference
     val back = CsvCompat.readReplies(spark, dest)
       .collect().map(r => (r.getString(0), r.getString(1),
-        Option(r.getString(2)).getOrElse(""), r.getString(3))).toSet
+        r.getString(2), r.getString(3))).toSet
     assert(back == replyRows.toSet)
   }
 

@@ -120,5 +120,18 @@ class TieredFrontierSpec extends AnyFunSuite {
       .get.select("host_bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(buckets.subsetOf(Set(0, 1, 2, 3)))
+
+    // fully-tombstoned compaction: a 0-row partitioned parquet write emits
+    // no files and every later read would die on schema inference — the
+    // empty case must write NOTHING and read back as absent, not crash
+    spark.createDataset((0 until 50).map(i => entry(i).url_hash)
+      ++ (50 until 80).map(i => entry(i).url_hash))
+      .toDF("url_hash").write.mode("overwrite")
+      .parquet(TieredFrontier.rmPath(cw, 2))
+    val physEmpty = TieredFrontier.compact(spark, cw, 2, 1)
+    assert(physEmpty == 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(TieredFrontier.basePath(cw, 2))))
+    assert(TieredFrontier.readBacklogPending(spark, cw, 2, 2).isEmpty)
   }
 }
