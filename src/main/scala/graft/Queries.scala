@@ -431,6 +431,43 @@ object Queries {
         |      FROM documents)
         |GROUP BY 1""".stripMargin)),
 
+    // PII redaction: email/IPv4/CN-mobile scrub as codegen'd regexp chains
+    // over the corpus ∪ planted PII rows (the synthetic docs carry no PII,
+    // so positives are injected deterministically — both sides identically)
+    "q_text_pii_redact" -> ((
+      (s: SparkSession, dir: String) => {
+        val planted = s.createDataFrame(Seq(
+          (1000001L, "contact me at a.b-c@test-mail.com or via 13812345678 thanks"),
+          (1000002L, "server 192.168.0.1 and 10.0.255.254 serve mail@ex.org twice: mail@ex.org"),
+          (1000003L, "no pii here, just 12345 and a plain sentence.")
+        )).toDF("doc_id", "text")
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(TextOps.EmailRe)).as("n_emails"),
+            regexp_count(col("text"), lit(TextOps.Ipv4Re)).as("n_ips"),
+            regexp_count(col("text"), lit(TextOps.CnMobileRe)).as("n_phones"),
+            TextOps.redactPii(col("text")).as("redacted"))
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (1000001, 'contact me at a.b-c@test-mail.com or via 13812345678 thanks'),
+        |    (1000002, 'server 192.168.0.1 and 10.0.255.254 serve mail@ex.org twice: mail@ex.org'),
+        |    (1000003, 'no pii here, just 12345 and a plain sentence.')
+        |  ) v(doc_id, text)
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\b1[3-9]\d{9}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\b1[3-9]\d{9}\b', '<PHONE>', 'g') AS redacted
+        |FROM src""".stripMargin)),
+
     // test-set decontamination: 13-gram overlap vs a (planted) benchmark
     // table — benchmark grams broadcast, corpus never shuffled (Dedup)
     "q_decontaminate" -> ((

@@ -116,6 +116,25 @@ object TextOps {
       // in '\n' would diverge between engine and oracle under $
       text.rlike("[.!?。！？]\"?\\z")
 
+  // ---- PII redaction (column algebra, Java-regex ≡ RE2 patterns) ---------
+  // Standard pre-training scrub: emails, IPv4 addresses, CN mobile numbers
+  // replaced by typed placeholders. Patterns deliberately avoid any
+  // construct where Java regex and RE2 (the DuckDB oracle) diverge — no
+  // backreferences, no lookaround. Replacement order matters: emails first
+  // (their local parts can contain digit runs), then IPs (dotted digits),
+  // then bare mobile numbers.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val CnMobileRe = "\\b1[3-9]\\d{9}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      CnMobileRe, "<PHONE>")
+
   // ---- document fingerprint (rolling hash, custom kernel) ---------------
 
   /** Polynomial rolling hash (Rabin–Karp style) over UTF-8 bytes: a

@@ -141,6 +141,17 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged.size < base.count(), "non-contaminated docs must pass")
   }
 
+  test("pii redaction replaces every occurrence with typed placeholders") {
+    import spark.implicits._
+    val out = Seq(
+      "mail a@b.co and c.d@e.org, call 13912345678 from 10.0.0.1",
+      "clean text with just 12345.").toDF("text")
+      .select(TextOps.redactPii($"text").as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> and <EMAIL>, call <PHONE> from <IP>")
+    assert(out(1) == "clean text with just 12345.")
+  }
+
   test("gopher/c4 gates: keep=true is reachable and each gate can reject") {
     import spark.implicits._
     // a document engineered to pass every gate: 60 distinct alphabetic
