@@ -502,7 +502,8 @@ object Queries {
           .agg(count(lit(1)).as("cnt"))
           .select(col("event_type"), col("cnt"),
             expr("cnt * 1000 DIV sum(cnt) OVER ()").as("pct_tenths")),
-      """SELECT event_type, cnt, cnt * 1000 // SUM(cnt) OVER () AS pct_tenths
+      """SELECT event_type, cnt,
+        |  CAST(cnt * 1000 // SUM(cnt) OVER () AS BIGINT) AS pct_tenths
         |FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)""".stripMargin)),
 
     // Gopher/C4 pre-training quality gates: per-doc integer metrics + the
@@ -802,8 +803,8 @@ object Queries {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Int]) => {
           val ts = rows.map(_._2).toArray.sorted
-          val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
-          var sessIdx = 0
+          val out = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+          var sessIdx = 0L
           var start = 0
           var i = 1
           while (i <= ts.length) {
@@ -844,8 +845,9 @@ object Queries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sess AS (
         |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+        |      AS session_idx
         |  FROM marked
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,

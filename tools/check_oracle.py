@@ -30,6 +30,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def type_key(t) -> str:
+    """Canonical type string for the driver-faithful schema compare.
+
+    Timestamps collapse to 'timestamp' (unit/tz are storage detail) and
+    string variants to 'string', but integer widths and decimals stay
+    distinct — DuckDB's HUGEINT (arrow decimal128) vs Spark's BIGINT is a
+    REAL driver hash mismatch and must fail here too.
+    """
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in ("large_string", "string", "utf8", "large_utf8"):
+        return "string"
+    if s.startswith(("int", "uint")):
+        # the driver's value hash sees Python ints: widths are equivalent
+        return "int"
+    if s.startswith("halffloat") or s == "float":
+        return "float32"
+    if s == "double":
+        return "float64"
+    return s
+
+
+def schema_diff(got_tbl, want_tbl):
+    g = {f.name: type_key(f.type) for f in got_tbl.schema}
+    w = {f.name: type_key(f.type) for f in want_tbl.schema}
+    if g == w:
+        return None
+    return f"typed schema differs: spark={sorted(g.items())} duck={sorted(w.items())}"
+
+
 def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
@@ -43,8 +74,14 @@ def main(sf_dir, out_dir):
             bad.append((name, "spark result missing"))
             continue
         try:
-            got = canon(pq.read_table(str(pdir)).to_pandas())
-            want = canon(con.execute(sql).fetchdf())
+            got_tbl = pq.read_table(str(pdir))
+            want_tbl = con.execute(sql).arrow()
+            tdiff = schema_diff(got_tbl, want_tbl)
+            if tdiff:
+                bad.append((name, tdiff))
+                continue
+            got = canon(got_tbl.to_pandas())
+            want = canon(want_tbl.to_pandas())
         except Exception as e:
             bad.append((name, f"error: {e}"))
             continue
