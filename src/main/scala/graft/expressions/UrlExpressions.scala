@@ -113,6 +113,54 @@ object UrlExpressions {
       copy(child = c)
   }
 
+  /** Bloom-filter probe against a TorrentBroadcast-shipped filter as a
+    * native expression. This sits on the two hottest per-row paths in the
+    * engine — every discovered link (seen pre-filter) and the above-gate
+    * pages scan (selected-slice runtime filter) — where the former Scala
+    * UDF paid per-row boxing and broke WholeStageCodegen. The broadcast
+    * handle rides in the codegen references (shipped once per executor by
+    * TorrentBroadcast, never per task binary); the byte[] is unwrapped
+    * once per task into mutable state, so the per-row cost is exactly the
+    * k probe loads. */
+  case class BloomMightContain(
+      child: Expression,
+      bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_bloom_might_contain"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Boolean.valueOf(
+        graft.frontier.BloomSeen.mightContain(
+          bloomBc.value, v.asInstanceOf[Long]))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc,
+        "org.apache.spark.broadcast.Broadcast")
+      val bytes = ctx.addMutableState("byte[]", "graftBloomBytes",
+        v => s"$v = (byte[]) $bcRef.value();")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.frontier.BloomSeen.mightContain($bytes, $c)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
+  /** Column wrapper for [[BloomMightContain]]. Goes through
+    * `classic.ExpressionUtils.column` directly (not the function registry):
+    * the probe binds to a specific broadcast per call site, and one round
+    * holds two live blooms at once (selected-slice filter + cumulative
+    * seen), so name-based registration would race plan analysis. */
+  def bloomProbe(bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                 hashCol: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashCol),
+        bloomBc))
+
   // Column-API wrappers (Spark 4: Column.apply over an expression goes
   // through the internal API; expr-string via session registry is the
   // public route, so we register and call by name)

@@ -126,13 +126,12 @@ object BloomSeen {
       org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new BloomAggregator(expectedItems, fpp), Encoders.scalaLong)
 
-  /** Probe column against a TorrentBroadcast-shipped bloom. Never capture
-    * the raw bytes in the UDF closure — a multi-MB filter would be
-    * re-serialized into every task binary, throttling the driver as
-    * parallelism grows; the broadcast ships once per executor. */
+  /** Probe column against a TorrentBroadcast-shipped bloom — a native
+    * codegen'd expression ([[graft.expressions.UrlExpressions.BloomMightContain]]),
+    * not a UDF: this sits on every discovered link and the above-gate pages
+    * scan. The broadcast handle (never the raw bytes) rides in the codegen
+    * references, so the filter ships once per executor, not per task. */
   def mightContainCol(bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
-                      hashCol: Column): Column = {
-    val probe = functions.udf((h: Long) => mightContain(bloomBc.value, h))
-    probe(hashCol)
-  }
+                      hashCol: Column): Column =
+    graft.expressions.UrlExpressions.bloomProbe(bloomBc, hashCol)
 }

@@ -129,10 +129,36 @@ class PlanSpec extends AnyFunSuite {
       val overF = planOf(filteredJoin)
       assert(!overF.contains("BroadcastHashJoin"), overF.take(2000))
       assert(overF.contains("Filter"), overF.take(2000))
+      // the runtime filter is the native bloom probe, not a Scala UDF
+      assert(!overF.contains("UDF"), overF.take(2000))
+      assert(overF.contains("graft_bloom_might_contain"), overF.take(2000))
       val unfiltered = CrawlRound.fetchJoin(pages, sel,
         CrawlRound.BroadcastRowGate + 1, None)
       assert(filteredJoin.count() == unfiltered.count())
     } finally spark.conf.set(thresholdKey, saved)
+  }
+
+  test("bloom probe is a native codegen expression with exact semantics") {
+    import spark.implicits._
+    val bloom = graft.frontier.BloomSeen.empty(1000)
+    val present = (0L until 200L).map(_ * 13 + 7)
+    present.foreach(graft.frontier.BloomSeen.put(bloom, _))
+    val bc = spark.sparkContext.broadcast(bloom)
+    // parquet-backed so the probe isn't constant-folded out of the plan
+    val p = TestSpark.tmpDir("plan-bloom")
+    (present ++ Seq(-1L, -2L, -3L)).toDF("h")
+      .write.mode("overwrite").parquet(p)
+    val probed = spark.read.parquet(p).withColumn("hit",
+      graft.frontier.BloomSeen.mightContainCol(bc, col("h")))
+    val plan = planOf(probed)
+    assert(!plan.contains("UDF"), plan.take(2000))
+    assert(plan.contains("graft_bloom_might_contain"), plan.take(2000))
+    val got = probed.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives ever; the 3 absent probes match the local kernel
+    assert(present.forall(got(_)))
+    Seq(-1L, -2L, -3L).foreach { h =>
+      assert(got(h) == graft.frontier.BloomSeen.mightContain(bloom, h))
+    }
   }
 
   test("robots gate and host-bucket derivation run as native expressions, no UDF") {
