@@ -44,10 +44,31 @@ object Controls {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-thread membw arrays, allocated ONCE and reused across every rep
+    * and level (controlEff runs 3 reps × 2 levels — fresh 2 GB allocations
+    * per call were heap-churn that could abort the bench AFTER the
+    * expensive crawl measurements). Array length is sized from the heap
+    * with a floor so a small-heap JVM degrades instead of OOMing; the
+    * length is fixed at first use, so per-thread work stays identical
+    * across the levels being compared. */
+  private var membwPool: Array[Array[Long]] = Array.empty
+  private def arraysFor(threads: Int): Array[Array[Long]] = synchronized {
+    if (membwPool.length < threads) {
+      val full = 32 * 1024 * 1024 // 256 MB per thread
+      val len =
+        if (membwPool.nonEmpty) membwPool(0).length // keep work comparable
+        else {
+          val budget = Runtime.getRuntime.maxMemory / 2 / 8 / threads
+          math.max(4 * 1024 * 1024, math.min(full.toLong, budget)).toInt
+        }
+      membwPool = membwPool ++ Array.fill(threads - membwPool.length)(
+        Array.tabulate(len)(i => i.toLong))
+    }
+    membwPool
+  }
+
   def controlSecs(threads: Int, membw: Boolean): Double = {
-    val arrays = if (membw)
-      Array.fill(threads)(Array.tabulate(32 * 1024 * 1024)(i => i.toLong))
-    else null
+    val arrays = if (membw) arraysFor(threads) else null
     run(threads, membw, passes = 2, arrays) // untimed: JIT + page faults
     run(threads, membw, passes = if (membw) 24 else 4, arrays)
   }

@@ -28,6 +28,27 @@ object Queries {
 
   private val ContainTerms = Seq("spark", "merge", "window", "customer")
 
+  /** GoldenValues pins exact outputs computed over the sf0.01 tables
+    * (500 documents). A golden query fed another scale would fail the
+    * driver's hash gate with a misleading "values differ" — fail fast with
+    * the real cause instead. Parquet row count comes from footer metadata,
+    * so the probe is one tiny job. */
+  private val GoldenPinnedDocRows = 500L
+  private def goldenScaleDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // Bench times these queries at sf0.1 (the golden is only the oracle
+    // side; the computation is real at any scale) — it sets this property
+    // to skip the correctness-context check
+    if (!sys.props.get("graft.golden.sfcheck").contains("off")) {
+      val n = d.count()
+      require(n == GoldenPinnedDocRows,
+        s"golden oracles are pinned at sf0.01 ($GoldenPinnedDocRows documents); " +
+          s"'$dir' has $n — regenerate GoldenValues via tools/gen_goldens.py " +
+          "(see README) before gating at this scale")
+    }
+    d
+  }
+
   /** documents ∪ perturbed near-copies (first token dropped), so near-dup
     * operators always have true positives to find. */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -159,6 +180,21 @@ object Queries {
         |FROM (VALUES ('spark'), ('scan'), ('zebra'), ('row')) t(term)
         |LEFT JOIN documents d ON d.text LIKE '%' || t.term || '%'
         |GROUP BY t.term""".stripMargin)),
+
+    // KeywordSearchData.get (views.py:301-320): pandas str.contains is
+    // REGEX containment — distinct from q_j3's substring semantics; one
+    // streamed pass, terms broadcast, zero-count terms preserved
+    "q_chart_keyword_freq" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.analytics.ChartDisplay.keywordFrequencyDF(repliesLike(s, dir),
+          Seq("spark", "spark", "merge.*window", "zzz_absent", "da[tn]a")),
+      """SELECT t.keyword, count(d.text) AS cnt
+        |FROM (VALUES ('spark'), ('merge.*window'), ('zzz_absent'),
+        |             ('da[tn]a')) t(keyword)
+        |LEFT JOIN documents d
+        |  ON d.text IS NOT NULL AND d.text <> ''
+        |  AND regexp_matches(d.text, t.keyword)
+        |GROUP BY t.keyword""".stripMargin)),
 
     // J5: URL-seen anti-join shape
     "q_j5_seen_antijoin" -> ((
@@ -687,9 +723,11 @@ object Queries {
 
     // SimHash near-dup pairs (GoldenValues pinned at sf0.01)
     "q_dedup_simhash" -> ((
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
+        goldenScaleDocs(s, dir)
         Dedup.simHashPairs(docsWithNearDups(s, dir), "text", "doc_id",
-          maxHamming = 3),
+          maxHamming = 3)
+      },
       GoldenValues.simhash)),
 
     // multimodal plumbing: binary payloads → per-partition feature batch;
@@ -705,26 +743,30 @@ object Queries {
     // sentiment buckets via the deterministic scorer UDF (F15/A3), with a
     // ⌊score·1000⌋ checksum per bucket pinning the scorer's exact values
     "q_sentiment_buckets" -> ((
-      (s: SparkSession, dir: String) =>
-        TiebaAnalytics.sentimentStats(repliesLike(s, dir)),
+      (s: SparkSession, dir: String) => {
+        goldenScaleDocs(s, dir)
+        TiebaAnalytics.sentimentStats(repliesLike(s, dir))
+      },
       GoldenValues.sentiment)),
 
     // corpus summary + containment join back to sources (F17/J2/O4);
     // md5 digest of each summary so the golden stays compact while still
     // pinning every byte of the selected sentences
     "q_summary_containment" -> ((
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
+        goldenScaleDocs(s, dir)
         TiebaAnalytics.summaryWithSources(
           repliesLike(s, dir).filter(col("post_id").cast("long") < 60))
           .select(col("post_id"), col("reply_id"),
-            md5(col("summary").cast("binary")).as("summary_md5")),
+            md5(col("summary").cast("binary")).as("summary_md5"))
+      },
       GoldenValues.summary)),
 
     // document fingerprint (rolling hash): per-doc 64-bit fingerprints on
     // a fixed slice — pins the exact hash value of every row
     "q_text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
-        t(s, dir, "documents").filter(col("doc_id") < 40)
+        goldenScaleDocs(s, dir).filter(col("doc_id") < 40)
           .select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp")),
       GoldenValues.fingerprint)),
 
