@@ -731,12 +731,15 @@ object Queries {
       GoldenValues.simhash)),
 
     // multimodal plumbing: binary payloads → per-partition feature batch;
-    // input is the deterministic synthetic media table (sf-independent)
+    // input is the deterministic synthetic media table (sf-independent).
+    // Image rows are REAL PNGs decoded via javax.imageio — the per-kind
+    // ⌊mean_luma·1000⌋ checksum pins the actual decoded pixel values
     "q_multimodal_features" -> ((
       (s: SparkSession, dir: String) => {
         val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
         feats.toDF().groupBy(col("kind"))
-          .agg(count(lit(1)).as("cnt"), sum(col("n_frames")).as("total_frames"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_frames")).as("total_frames"),
+            sum(floor(col("mean_luma") * 1000).cast("long")).as("luma_checksum"))
       },
       GoldenValues.multimodal)),
 

@@ -106,6 +106,28 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("multimodal image path is a real codec: PNG dims round-trip, luma exact") {
+    val imgs = Multimodal.syntheticMedia(spark, 30).collect()
+      .filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val (w, h, luma) = Multimodal.ImageCodec.decode(r.payload)
+      assert(w == r.width && h == r.height,
+        s"decoded dims ($w,$h) != declared (${r.width},${r.height})")
+      assert(luma >= 0.0 && luma <= 1.0)
+    }
+    // a known 1×1 white PNG decodes to luma 1.0 exactly (255*1000/1000/255)
+    val white = {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.ImageCodec.decode(white) == ((1, 1, 1.0)))
+  }
+
   test("text ops: column functions match pure expectations") {
     import spark.implicits._
     val df = Seq(
