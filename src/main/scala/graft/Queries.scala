@@ -823,45 +823,107 @@ object Queries {
   /** Stateful streaming sessionization: KeyValueGroupedDataset.
     * flatMapGroupsWithState over per-user event streams, 30-minute
     * inactivity gap — the custom-state streaming shape the windowed agg
-    * can't express. Bounded input + one trigger means each user's full
-    * history arrives in a single state call; the oracle is the classic
-    * batch gaps-and-islands SQL, so the state machine faces a hard
-    * equivalence gate. Timestamps ride as unix micros through the state
-    * function (java.sql.Timestamp.getTime would truncate to millis and
-    * silently shift session bounds). */
-  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    * can't express. The state is INCREMENTAL — per user just
+    * (nextIdx, open?, sessionStart, lastTs, nEvents), never the event
+    * history — with `GroupStateTimeout.EventTimeTimeout` evicting idle
+    * sessions as the watermark passes lastTs + gap: the shape that holds
+    * on an unbounded stream (state size O(active users), not O(events)).
+    *
+    * The bounded input is staged as MULTIPLE time-ordered files with
+    * maxFilesPerTrigger=1, so sessions genuinely span micro-batches and
+    * the cross-batch state merge is exercised, plus two far-future
+    * sentinel rows whose watermark advance flushes every real open
+    * session through the timeout path inside a DATA batch (no reliance
+    * on no-data-batch scheduling). The oracle is the classic batch
+    * gaps-and-islands SQL, so the state machine faces a hard equivalence
+    * gate. Timestamps ride as unix micros through the state function
+    * (java.sql.Timestamp.getTime would truncate to millis and silently
+    * shift session bounds). */
+  private[graft] val SessionGapMicros: Long = 30L * 60 * 1000000
+  private[graft] def sessionizeStage(s: SparkSession, events: DataFrame,
+                                     stage: java.nio.file.Path): Unit = {
+    val ev = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"))
+    val Array(minU, maxU) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = minU + (maxU - minU) / 2
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow()
+      finally listing.close()
+      java.nio.file.Files.move(part, stage.resolve(name))
+      scala.reflect.io.Path(tmp.toFile).deleteRecursively()
+    }
+    import s.implicits._
+    writeOne(ev.filter(unix_micros(col("ts")) < mid), "00.parquet")
+    writeOne(ev.filter(unix_micros(col("ts")) >= mid), "01.parquet")
+    // sentinels: two extra batches so the final watermark advance (and
+    // therefore every real session's timeout) lands in a data batch
+    writeOne(Seq((-1L, maxU + 40 * SessionGapMicros)).toDF("user_id", "u")
+      .select(col("user_id"), timestamp_micros(col("u")).as("ts")), "02.parquet")
+    writeOne(Seq((-2L, maxU + 80 * SessionGapMicros)).toDF("user_id", "u")
+      .select(col("user_id"), timestamp_micros(col("u")).as("ts")), "03.parquet")
+  }
+
+  private[graft] def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeOf(s, s.read.parquet(s"$dir/events.parquet"))
+
+  private[graft] def streamSessionizeOf(s: SparkSession,
+                                        events: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val name = "stream_sess_" + math.abs(path.hashCode).toString
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val GapMicros = 30L * 60 * 1000000
-    val ev = s.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("tsu"))
-      .as[(Long, Long)]
+    val Gap = SessionGapMicros
+    val stage = java.nio.file.Files.createTempDirectory("graft-sess")
+    sessionizeStage(s, events, stage)
+    val name = "stream_sess_" + math.abs(stage.toString.hashCode).toString
+    val ev = s.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    // state: (nextIdx, open 0/1, sessionStart, lastTs, nEvents) — O(1)
     val sessions = ev.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Int]) => {
-          val ts = rows.map(_._2).toArray.sorted
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) => {
           val out = Vector.newBuilder[(Long, Long, Long, Long, Long)]
-          var sessIdx = 0L
-          var start = 0
-          var i = 1
-          while (i <= ts.length) {
-            if (i == ts.length || ts(i) - ts(i - 1) > GapMicros) {
-              out += ((user, sessIdx, (i - start).toLong, ts(start), ts(i - 1)))
-              sessIdx += 1
-              start = i
+          var (nextIdx, open, start, last, n) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: no earlier event can arrive,
+            // so the open session is final — emit and clear it
+            if (open == 1L) { out += ((user, nextIdx, n, start, last)); nextIdx += 1 }
+            state.update((nextIdx, 0L, 0L, 0L, 0L))
+          } else {
+            // within a batch arrival order is arbitrary; across batches
+            // the time-split staging guarantees event-time order
+            val ts = rows.map(_._3).toArray.sorted
+            var i = 0
+            while (i < ts.length) {
+              val t = ts(i)
+              if (open == 0L) { open = 1L; start = t; last = t; n = 1L }
+              else if (t - last > Gap) {
+                out += ((user, nextIdx, n, start, last)); nextIdx += 1
+                start = t; last = t; n = 1L
+              } else { last = t; n += 1L }
+              i += 1
             }
-            i += 1
+            state.update((nextIdx, open, start, last, n))
+            if (open == 1L)
+              state.setTimeoutTimestamp(math.max(
+                (last + Gap) / 1000 + 1, state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator
         })
+      .filter(col("_1") >= 0) // drop the watermark-sentinel users
       .select(col("_1").as("user_id"), col("_2").as("session_idx"),
         col("_3").as("n_events"),
         timestamp_micros(col("_4")).as("session_start"),
