@@ -152,6 +152,10 @@ object Bench {
     // frontier grows 10× under a fixed budget (see FrontierBench)
     val fbJson = FrontierBench.json(100000L, 30, 10, s"$work/fb")
 
+    // burst-confirm evidence: confirm cost vs 30× seen growth, probe path
+    // against the replaced shuffle shape (see SeenBench)
+    val sbJson = SeenBench.json(1000000L, 30, 500000L, s"$work/sb")
+
     // query timings at full parallelism over the driver's sf dir; the
     // golden queries' sf0.01 pin-check is a correctness-gate concern, not
     // a timing one — the computation itself is scale-generic
@@ -187,6 +191,7 @@ object Bench {
         s""""unit":"pages/sec","queries":$qJson,"sf":"$sfDir",""" +
         s""""crawl":$crawlJson,""" +
         s""""frontier_scaling":$fbJson,""" +
+        s""""seen_scaling":$sbJson,""" +
         s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}""")
   }
 }

@@ -65,6 +65,53 @@ object CrawlRound {
   def broadcastRowGate: Long =
     sys.env.get("GRAFT_BCAST_GATE").map(_.toLong).getOrElse(BroadcastRowGate)
 
+  /** Above this many Bloom-positive suspects, the exact confirm switches
+    * from the AQE-broadcast semi join to the suspect-Bloom-prefiltered
+    * scan (see [[confirmNew]]). Sized like the fetch gate: ≤100k hashes is
+    * a sub-MB broadcast either way. */
+  val SuspectBloomGate = 100000L
+
+  /** Exact confirmation of Bloom-positive suspects against the cumulative
+    * seen table, with the invariant the 10^10 design point demands: THE
+    * SEEN TABLE NEVER ENTERS AN EXCHANGE — O(crawl age) rows may be
+    * scanned (columnar, single long column, embarrassingly parallel) but
+    * never shuffled, in any regime.
+    *
+    *  - steady state (suspects ≤ [[SuspectBloomGate]], the common case —
+    *    the cumulative Bloom already dropped the novel majority): the tiny
+    *    suspect set rides as the broadcast build side of a semi join over
+    *    the seen scan, then the matched set (≤ suspects) broadcasts back
+    *    into the anti join. Zero shuffles.
+    *  - burst (millions of suspects — seed storms, frontier rewinds): a
+    *    shuffled join would exchange the whole seen table (the r2 'weak'
+    *    finding). Instead: one O(suspects) agg builds a Bloom over the
+    *    suspect hashes, pushed into the seen scan as the native codegen'd
+    *    probe — seen collapses to (true matches + ~0.1% fp) BEFORE any
+    *    join, and the anti join's build side is O(matches). The suspect
+    *    shuffle is O(delta); seen is scanned, never moved.
+    *
+    * Exactness: the suspect Bloom has no false negatives, so every true
+    * match survives the prefilter; false positives on the seen side have
+    * hashes ∉ suspects, so the anti join ignores them. */
+  def confirmNew(seen: DataFrame, suspects: DataFrame,
+                 nSuspects: Long): DataFrame = {
+    val spark = suspects.sparkSession
+    if (nSuspects <= SuspectBloomGate) {
+      val matchedSeen = seen
+        .join(broadcast(suspects.select("url_hash")), Seq("url_hash"),
+          "left_semi")
+      suspects.join(broadcast(matchedSeen), Seq("url_hash"), "left_anti")
+    } else {
+      val agg = BloomSeen.bloomBuildUdaf(math.max(nSuspects, 1L << 16),
+        fpp = 0.001)
+      val row = suspects.agg(agg(col("url_hash")).as("b")).collect()(0)
+      val bc = spark.sparkContext.broadcast(row.getAs[Array[Byte]](0))
+      val matchedSeen = seen.filter(
+        BloomSeen.mightContainCol(bc, col("url_hash")))
+      suspects.join(matchedSeen, Seq("url_hash"), "left_anti")
+    }
+  }
+
   /** Carried frontier bookkeeping between rounds (persisted in the
     * snapshot manifest): total pending, head/backlog split, physical
     * backlog rows (incl. tombstoned), and the last compaction round. */
@@ -328,28 +375,20 @@ object CrawlRound {
       .withColumn("discovered_round", lit(round))
 
     // Bloom pre-filter (broadcast probe); suspects confirmed WITHOUT
-    // shuffling the seen table (see class Scaladoc)
+    // shuffling the seen table in ANY regime (see confirmNew).
+    // Zero-suspect rounds (Bloom cleared everything) skip the exact
+    // confirm entirely — otherwise every round pays an O(seen) scan for
+    // nothing, which grows with crawl age.
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val probed = candidates.withColumn("maybe_seen",
       BloomSeen.mightContainCol(bloomBc, col("url_hash")))
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     val suspects = probed.filter(col("maybe_seen")).drop("maybe_seen")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // no forced broadcast hints: AQE picks broadcast when the suspect set
-    // is small (the steady-state crawl case — the Bloom already dropped
-    // the novel majority) and falls back to a shuffled join when a burst
-    // round produces millions of suspects (forcing a driver-side
-    // broadcast there serializes the round on the driver).
-    // Zero-suspect rounds (Bloom cleared everything) skip the exact
-    // confirm entirely — otherwise every round pays an O(seen) scan for
-    // nothing, which grows with crawl age.
+    val nSuspects = suspects.count()
     val confirmedNew =
-      if (suspects.isEmpty) suspects
-      else {
-        val matchedSeen = seen
-          .join(suspects.select("url_hash"), Seq("url_hash"), "left_semi")
-        suspects.join(matchedSeen, Seq("url_hash"), "left_anti")
-      }
+      if (nSuspects == 0) suspects
+      else confirmNew(seen, suspects, nSuspects)
     val newEntries = definitelyNew.select(feColsC: _*)
       .unionByName(confirmedNew.select(feColsC: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)

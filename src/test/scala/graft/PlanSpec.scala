@@ -138,6 +138,43 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("seen confirm: zero exchanges steady-state, probe-prefiltered burst, identical results") {
+    val seenPath = TestSpark.tmpDir("confirm-seen")
+    spark.range(200000).selectExpr("id * 3 as url_hash")
+      .write.mode("overwrite").parquet(seenPath)
+    val seen = spark.read.parquet(seenPath)
+    val susPath = TestSpark.tmpDir("confirm-sus")
+    // overlap: every even suspect hash is divisible by 3 half the time
+    spark.range(4000).selectExpr("id * 2 as url_hash",
+      "concat('http://s', id) as url")
+      .write.mode("overwrite").parquet(susPath)
+    val suspects = spark.read.parquet(susPath)
+
+    // steady state: suspects broadcast out, matched set broadcast back —
+    // the seen table is scanned, nothing shuffles
+    val under = CrawlRound.confirmNew(seen, suspects, nSuspects = 4000)
+    val underP = planOf(under)
+    assert(!underP.contains("Exchange hashpartitioning"), underP.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(underP).size == 2, underP.take(2000))
+
+    // burst: the suspect-hash Bloom lands as the native probe filter on
+    // the seen scan (below any join), so only matches+fp leave the scan
+    val over = CrawlRound.confirmNew(seen, suspects,
+      nSuspects = CrawlRound.SuspectBloomGate + 1)
+    val overP = planOf(over)
+    assert(overP.contains("graft_bloom_might_contain"), overP.take(2000))
+    assert(!overP.contains("UDF"), overP.take(2000))
+
+    // both regimes compute the same exact confirmation
+    val a = under.collect().map(_.getLong(0)).sorted.toSeq
+    val b = over.collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // and it IS the exact answer
+    val exact = suspects.join(seen, Seq("url_hash"), "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == exact)
+  }
+
   test("bloom probe is a native codegen expression with exact semantics") {
     import spark.implicits._
     val bloom = graft.frontier.BloomSeen.empty(1000)
