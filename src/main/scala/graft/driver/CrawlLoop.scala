@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import graft.core.Crawl
-import graft.frontier.{BloomSeen, FrontierEntry, Snapshots, TieredFrontier}
+import graft.frontier.{BloomSeen, FrontierEntry, ShardedBloom, Snapshots, TieredFrontier}
 import graft.round.CrawlRound
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,11 +26,12 @@ object CrawlLoop {
 
   val CancelMarker = "CANCEL"
 
-  /** Expected total URL count used to size the Bloom filter. At the 10^10
-    * design point a single 1%-fpp Bloom is ~12 GB — too big for one
-    * broadcast; the production layout shards the seen set by url_hash
-    * range with one Bloom per shard and probes the matching shard
-    * (documented in BASELINE.md); locally one filter suffices. */
+  /** `expectedUrls` sizes the seen filter. At the 10^10 design point a
+    * single 1%-fpp Bloom is ~12 GB — beyond one JVM array — so the filter
+    * is SHARDED by url_hash range ([[ShardedBloom]]): shard count derives
+    * from expectedUrls (S=1 locally — identical to a single filter),
+    * deltas build as one shard-grouped distributed agg, rounds merge
+    * per-shard, and the probe reads exactly one shard per row. */
   def run(spark: SparkSession,
           pages: DataFrame,
           seedUrls: Seq[String],
@@ -113,15 +114,13 @@ object CrawlLoop {
           .sortWithinPartitions(col("url_hash"))
           .write.mode("overwrite")
           .parquet(Snapshots.tablePath(warehouse, 0, "seen_delta"))
-        // Bloom + seed count in one distributed agg (no driver put-loop)
-        val bloomAgg = BloomSeen.bloomBuildUdaf(expectedUrls)
-        val row = entries.agg(bloomAgg(col("url_hash")).as("b"),
-          count(lit(1)).as("n")).collect()(0)
-        val seedCount = row.getLong(1)
-        val bloom =
-          if (row.isNullAt(0)) BloomSeen.empty(expectedUrls)
-          else row.getAs[Array[Byte]](0)
-        Snapshots.writeBloom(warehouse, 0, bloom)
+        // sharded Bloom + seed count in one distributed agg grouped by the
+        // url_hash-range shard key (no driver put-loop; S=1 locally, S>1
+        // when expectedUrls exceeds one filter's capacity — ShardedBloom)
+        val (bloom, seedCount) = ShardedBloom.buildShardsWithCount(
+          entries, "url_hash", expectedUrls,
+          ShardedBloom.numShardsFor(expectedUrls))
+        Snapshots.writeBloomShards(warehouse, 0, bloom)
         Snapshots.writeManifest(warehouse, Snapshots.Manifest(0, -1,
           seedCount, seedCount, 0, 0, 0, Nil,
           headCount = seedCount - overflowCount,
@@ -143,10 +142,10 @@ object CrawlLoop {
         case None => CrawlRound.FrontierState(-1L, 0L, 0L, 0L, -1)
       }
 
-    // the cumulative Bloom lives in driver memory across rounds (it is
-    // merged here anyway); the per-round file write remains the resume
-    // source of truth, but steady-state rounds never re-read it from disk
-    var bloomBytes: Array[Byte] = null
+    // the cumulative Bloom (shard array) lives in driver memory across
+    // rounds (it is merged here anyway); the per-round file write remains
+    // the resume source of truth, but steady-state rounds never re-read it
+    var bloomShards: Array[Array[Byte]] = null
 
     while (state.pending != 0L && round <= cfg.maxRounds &&
       !Files.exists(Paths.get(warehouse, CancelMarker))) {
@@ -155,8 +154,8 @@ object CrawlLoop {
       val seen = Snapshots.readTable(spark, warehouse, "seen_delta", prev)
         .getOrElse(spark.emptyDataset[Long].toDF("url_hash"))
       val bloom =
-        if (bloomBytes != null) bloomBytes
-        else Snapshots.readBloom(warehouse, prev)
+        if (bloomShards != null) bloomShards
+        else Snapshots.readBloomShards(warehouse, prev)
 
       // the round writes fetched/misses/head/backlog deltas/host_state/
       // seen_delta itself; manifest below is the commit marker
@@ -174,11 +173,11 @@ object CrawlLoop {
       // the cumulative filter's geometry; one bitwise OR here — the driver
       // never sees raw hashes, only two bitsets.
       val merged = res.deltaBloom match {
-        case Some(delta) => BloomSeen.mergeInto(bloom, delta)
+        case Some(delta) => ShardedBloom.mergeInto(bloom, delta)
         case None        => bloom
       }
-      Snapshots.writeBloom(warehouse, round, merged)
-      bloomBytes = merged
+      Snapshots.writeBloomShards(warehouse, round, merged)
+      bloomShards = merged
       state = res.state
 
       // amortized backlog compaction: rewrite pending as a fresh base once

@@ -161,6 +161,44 @@ object UrlExpressions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashCol),
         bloomBc))
 
+  /** [[BloomMightContain]]'s sharded sibling: probes the url_hash-range
+    * shard array ([[graft.frontier.ShardedBloom]]) — one shard-index
+    * computation + k probe loads per row, inside WholeStageCodegen. */
+  case class ShardedBloomMightContain(
+      child: Expression,
+      shardsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sharded_bloom_might_contain"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Boolean.valueOf(
+        graft.frontier.ShardedBloom.mightContain(
+          shardsBc.value, v.asInstanceOf[Long]))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftShardsBc", shardsBc,
+        "org.apache.spark.broadcast.Broadcast")
+      val shards = ctx.addMutableState("byte[][]", "graftBloomShards",
+        v => s"$v = (byte[][]) $bcRef.value();")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.frontier.ShardedBloom.mightContain($shards, $c)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShardedBloomMightContain =
+      copy(child = c)
+  }
+
+  def shardedBloomProbe(
+      shardsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      hashCol: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      ShardedBloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashCol),
+        shardsBc))
+
   // Column-API wrappers (Spark 4: Column.apply over an expression goes
   // through the internal API; expr-string via session registry is the
   // public route, so we register and call by name)

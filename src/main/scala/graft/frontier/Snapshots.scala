@@ -120,6 +120,39 @@ object Snapshots {
   def readBloom(warehouse: String, round: Int): Array[Byte] =
     Files.readAllBytes(Paths.get(snapDir(warehouse, round), "bloom.bin"))
 
+  /** Sharded seen-filter persistence ([[ShardedBloom]]): S = 1 keeps the
+    * single `bloom.bin` (existing snapshots stay readable); S > 1 writes
+    * one `bloom-%03d.bin` per url_hash-range shard — at the 10^10 design
+    * point the cumulative filter (~12 GB) cannot be one file or one JVM
+    * array anyway, and per-shard files let a sharded reader fetch only
+    * the shards it owns. */
+  def writeBloomShards(warehouse: String, round: Int,
+                       shards: Array[Array[Byte]]): Unit =
+    if (shards.length == 1) writeBloom(warehouse, round, shards(0))
+    else {
+      val dir = Paths.get(snapDir(warehouse, round))
+      Files.createDirectories(dir)
+      shards.zipWithIndex.foreach { case (b, i) =>
+        Files.write(dir.resolve(f"bloom-$i%03d.bin"), b)
+      }
+    }
+
+  def readBloomShards(warehouse: String, round: Int): Array[Array[Byte]] = {
+    val dir = Paths.get(snapDir(warehouse, round))
+    val single = dir.resolve("bloom.bin")
+    if (Files.exists(single)) Array(Files.readAllBytes(single))
+    else {
+      val stream = Files.list(dir)
+      val names = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("bloom-") && n.endsWith(".bin"))
+        .toSeq.sorted
+      finally stream.close()
+      require(names.nonEmpty, s"no bloom files in $dir")
+      names.map(n => Files.readAllBytes(dir.resolve(n))).toArray
+    }
+  }
+
   def tablePath(warehouse: String, round: Int, table: String): String =
     s"${snapDir(warehouse, round)}/$table"
 

@@ -1,7 +1,7 @@
 package graft.round
 
 import graft.core.{Crawl, UrlCanon}
-import graft.frontier.{BloomSeen, FrontierEntry, PartitionLineage, Snapshots, TieredFrontier}
+import graft.frontier.{BloomSeen, FrontierEntry, PartitionLineage, ShardedBloom, Snapshots, TieredFrontier}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,7 +137,7 @@ object CrawlRound {
                                overflowCount: Long,
                                refillCount: Long,
                                state: FrontierState,
-                               deltaBloom: Option[Array[Byte]],
+                               deltaBloom: Option[Array[Array[Byte]]],
                                lineage: Seq[PartitionLineage]) {
     def frontierCount: Long = state.pending
   }
@@ -214,7 +214,7 @@ object CrawlRound {
           head: DataFrame,
           pages: DataFrame,
           seen: DataFrame, // single column url_hash: Long (exact set)
-          bloom: Array[Byte],
+          bloom: Array[Array[Byte]], // url_hash-range shards (ShardedBloom)
           cfg: Crawl.CrawlConfig,
           round: Int,
           warehouse: String,
@@ -381,7 +381,7 @@ object CrawlRound {
     // nothing, which grows with crawl age.
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val probed = candidates.withColumn("maybe_seen",
-      BloomSeen.mightContainCol(bloomBc, col("url_hash")))
+      ShardedBloom.mightContainCol(bloomBc, col("url_hash")))
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     val suspects = probed.filter(col("maybe_seen")).drop("maybe_seen")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -396,11 +396,11 @@ object CrawlRound {
     // delta Bloom + new count in ONE small job over the cached delta;
     // seen_delta persisted sorted for parquet min/max range pruning at scale
     val bloomCountF = Future {
-      val agg = BloomSeen.bloomBuildUdaf(expectedUrls)
-      val row = newEntries
-        .agg(agg(col("url_hash")).as("b"), count(lit(1)).as("n")).collect()(0)
-      (if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0)),
-        row.getLong(1))
+      // delta shards share the cumulative filter's shard count + geometry
+      // so the driver's round-boundary merge is a per-shard OR
+      val (shards, n) = ShardedBloom.buildShardsWithCount(
+        newEntries, "url_hash", expectedUrls, bloom.length)
+      (if (n == 0) None else Some(shards), n)
     }
     val seenWriteF = Future {
       newEntries.select(col("url_hash")).sortWithinPartitions(col("url_hash"))
