@@ -14,8 +14,12 @@ object CrawlOnly {
     val cores = sys.env.getOrElse("GRAFT_CORES", "32").toInt
     val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "300").toInt
     val pagesPath = sys.env.getOrElse("GRAFT_PAGES", "/tmp/graft-pages")
+    // GRAFT_MASTER=spark://host:port runs against a real (standalone)
+    // cluster — executor count/cores then come from spark-submit conf and
+    // GRAFT_CORES only labels the report line
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE", cores.toString))
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,7 +47,7 @@ object CrawlOnly {
     val cfg = Crawl.CrawlConfig(YearMonth.of(2019, 1), YearMonth.of(2019, 12),
       YearMonth.of(2019, 6), indexPageBudget = spec.indexPagesPerForum - 1,
       perHostBudget = sys.env.getOrElse("GRAFT_BUDGET", "16384").toInt,
-      maxRounds = 12,
+      maxRounds = sys.env.getOrElse("GRAFT_MAXROUNDS", "12").toInt,
       verifyText = sys.env.getOrElse("GRAFT_VERIFY_TEXT", "true").toBoolean)
     if (sys.env.contains("GRAFT_GEN"))
       CorpusWriter.write(spark, spec, pagesPath, numPartitions = 64)
@@ -53,11 +57,21 @@ object CrawlOnly {
         java.nio.file.Paths.get(base), "graft-crawlonly").toString
       case None => java.nio.file.Files.createTempDirectory("graft-crawlonly").toString
     }
+    import scala.jdk.CollectionConverters._
+    def cpuSec: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val (cpu0, gc0) = (cpuSec, gcMs)
     val t0 = System.nanoTime()
     val sum = CrawlLoop.run(spark, pages, SyntheticWeb.seeds(spec, nForums),
       cfg, wh, expectedUrls = 1L << 22)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[crawlonly] cores=$cores fetched=${sum.totalFetched} sec=$sec%.1f pps=${sum.totalFetched / sec}%.1f")
+    println(f"[crawlonly] cores=$cores fetched=${sum.totalFetched} " +
+      f"sec=$sec%.1f pps=${sum.totalFetched / sec}%.1f " +
+      f"cpu=${cpuSec - cpu0}%.1f gc_stw=${(gcMs - gc0) / 1000.0}%.1f")
     spark.stop()
   }
 }

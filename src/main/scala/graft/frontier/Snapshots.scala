@@ -161,10 +161,31 @@ object Snapshots {
     (0 to upToRound).map(r => tablePath(warehouse, r, table))
       .filter(p => Files.exists(Paths.get(p)))
 
+  /** Fixed schemas for the simple physical tables: supplying them skips
+    * the per-read footer-inference job (serial driver time in the round
+    * loop). `fetched` stays inferred — its nested `out` struct follows
+    * the extractor's item types. */
+  private val StaticSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+    Map(
+      "head" -> TieredFrontier.feSchema,
+      "backlog_add" -> TieredFrontier.backlogSchema,
+      "backlog_base" -> TieredFrontier.backlogSchema,
+      "host_state" -> TieredFrontier.hostStateSchema,
+      "seen_delta" -> org.apache.spark.sql.types.StructType.fromDDL(
+        "url_hash BIGINT"),
+      "backlog_rm" -> org.apache.spark.sql.types.StructType.fromDDL(
+        "url_hash BIGINT, host_hash BIGINT"),
+      "misses" -> org.apache.spark.sql.types.StructType.fromDDL(
+        "round INT, url STRING, url_hash BIGINT, host STRING, depth INT"))
+
   private def readPhysical(spark: SparkSession, warehouse: String,
                            table: String, upToRound: Int): Option[DataFrame] = {
     val paths = existingDeltaPaths(warehouse, table, upToRound)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else StaticSchemas.get(table) match {
+      case Some(s) => Some(spark.read.schema(s).parquet(paths: _*))
+      case None    => Some(spark.read.parquet(paths: _*))
+    }
   }
 
   /** Full logical table at round k = union of committed deltas 0..k.

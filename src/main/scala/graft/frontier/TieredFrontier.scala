@@ -51,6 +51,26 @@ object TieredFrontier {
   val feCols: Seq[String] = Seq("url", "url_hash", "host", "host_hash",
     "priority", "depth", "parent_url", "discovered_round", "warc_ts")
 
+  /** Static schemas for every per-round read: schema inference costs one
+    * small Spark job per `spark.read.parquet` (a footer read), and the
+    * round loop does several reads per round — at cluster job-launch
+    * latencies that was measurable serial driver time (F) every round. */
+  val feSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, url_hash BIGINT, host STRING, host_hash BIGINT, " +
+        "priority INT, depth INT, parent_url STRING, " +
+        "discovered_round INT, warc_ts TIMESTAMP")
+  /** Backlog segments are directory-partitioned by host_bucket. */
+  val backlogSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, url_hash BIGINT, host STRING, host_hash BIGINT, " +
+        "priority INT, depth INT, parent_url STRING, " +
+        "discovered_round INT, warc_ts TIMESTAMP, host_bucket INT")
+  val hostStateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "host_hash BIGINT, backlog_count BIGINT, " +
+        "bmin STRUCT<priority: INT, warc_ts: TIMESTAMP, url_hash: BIGINT>")
+
   def headPath(wh: String, round: Int): String =
     Snapshots.tablePath(wh, round, "head")
   def addPath(wh: String, round: Int): String =
@@ -63,10 +83,10 @@ object TieredFrontier {
     Snapshots.tablePath(wh, round, "host_state")
 
   def readHead(spark: SparkSession, wh: String, round: Int): DataFrame =
-    spark.read.parquet(headPath(wh, round))
+    spark.read.schema(feSchema).parquet(headPath(wh, round))
 
   def readHostState(spark: SparkSession, wh: String, round: Int): DataFrame =
-    spark.read.parquet(hostStatePath(wh, round))
+    spark.read.schema(hostStateSchema).parquet(hostStatePath(wh, round))
 
   private def existing(paths: Seq[String]): Seq[String] =
     paths.filter(p => Files.exists(Paths.get(p)))
@@ -86,7 +106,7 @@ object TieredFrontier {
     // separately and union (one shared read would mis-infer the layout);
     // the bucket filter still prunes at the directory level per segment
     val segs = segPaths.map { p =>
-      val d = spark.read.parquet(p)
+      val d = spark.read.schema(backlogSchema).parquet(p)
       buckets match {
         case Some(bs) => d.filter(col("host_bucket").isin(bs.map(Int.box): _*))
         case None     => d
@@ -95,7 +115,10 @@ object TieredFrontier {
     val rmPaths = existing(((from + 1) to upTo).map(rmPath(wh, _)))
     val pending =
       if (rmPaths.isEmpty) segs
-      else segs.join(spark.read.parquet(rmPaths: _*).select("url_hash"),
+      else segs.join(
+        spark.read
+          .schema("url_hash BIGINT, host_hash BIGINT")
+          .parquet(rmPaths: _*).select("url_hash"),
         Seq("url_hash"), "left_anti")
     Some(pending)
   }

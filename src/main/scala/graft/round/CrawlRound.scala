@@ -297,14 +297,18 @@ object CrawlRound {
       ProcessedPage(o.posts, o.replies, o.comments, o.tiebaNames,
         o.links.map(l => LinkDto(l.url, l.depth, l.priority)), o.text)
     }
-    // critical-path job #1: scan+join+extract, written exactly once;
-    // every downstream consumer re-reads this bounded working set.
+    // critical-path job #1: scan+join+extract, written exactly once; every
+    // downstream consumer re-reads this bounded working set from parquet.
+    // (Measured alternative, rejected: persisting the pre-write DF and
+    // running the write concurrently with expansion LOST ~20% at 2 cores —
+    // the in-memory cache can't prune nested fields, so expansion paid for
+    // the whole `out` struct instead of parquet's out.links-only read.)
     // (dictionary encoding off: text/urls are unique per row — the encoder
     // would only buffer and fall back, the hottest write frame in JFR)
     // text_match column is stable in the fetched schema; when verification
     // is off (production/throughput runs) it is vacuously true rather than
     // a per-row compare against a corpus column we then never read
-    hits
+    val fetchedOut = hits
       .withColumn("out", processUdf(col("url"), col("html")))
       .withColumn("text_match",
         if (cfg.verifyText) col("out.text") === col("page_text")
@@ -313,14 +317,14 @@ object CrawlRound {
       .withColumn("round", lit(round))
       .drop((Seq("html") ++
         (if (cfg.verifyText) Seq("page_text") else Nil)): _*)
-      .write.mode("overwrite")
+    fetchedOut.write.mode("overwrite")
       .option("parquet.enable.dictionary", "false")
       .parquet(path("fetched"))
     lap("fetch+extract")
 
-    val fetched = spark.read.parquet(path("fetched"))
+    // re-read with the schema we just wrote: no footer-inference job
+    val fetched = spark.read.schema(fetchedOut.schema).parquet(path("fetched"))
 
-    // off-critical-path concurrent jobs
     val lineageF = Future {
       fetched.groupBy(col("partition_id"))
         .agg(count(lit(1)).as("fetched"),
@@ -437,13 +441,19 @@ object CrawlRound {
     // active host) instead of an unconditional row_number over the whole
     // merged set — the common round has NO host over headCap, so merged
     // passes straight through and the O(n log n) per-host sort is skipped;
-    // only over-cap hosts' rows (burst rounds) pay the window.
-    val overHosts = merged.groupBy(col("host_hash"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > headCap)
+    // only over-cap hosts' rows (burst rounds) pay the window. The counts
+    // are CACHED: the no-overflow round reuses them as the refill counts
+    // (kept ≡ merged there), saving a second head-size aggregation — at
+    // cluster job latencies every serial head-size job per round is
+    // measurable F.
+    val mergedCounts = merged.groupBy(col("host_hash"))
+      .agg(count(lit(1)).as("n")).persist(StorageLevel.MEMORY_AND_DISK)
+    val overHosts = mergedCounts.filter(col("n") > headCap)
       .select("host_hash").persist(StorageLevel.MEMORY_AND_DISK)
     var overRanked: Option[DataFrame] = None
+    val noOverflow = overHosts.isEmpty
     val (kept, overflow) =
-      if (overHosts.isEmpty) (merged, merged.limit(0))
+      if (noOverflow) (merged, merged.limit(0))
       else {
         // AQE broadcasts overHosts when few hosts burst (the usual case)
         val over = merged.join(overHosts, Seq("host_hash"), "left_semi")
@@ -461,17 +471,31 @@ object CrawlRound {
     // disjoint). The backlog scan is pruned to the refilling hosts'
     // buckets; this round's `newWorse` joins the refill pool so a fresh
     // link can still be promoted if it outranks the backlog.
-    val keptCounts = kept.groupBy(col("host_hash"))
-      .agg(count(lit(1)).as("head_n"))
-    val refillNeeds = prevHostState.filter(col("backlog_count") > 0)
-      .join(keptCounts, Seq("host_hash"), "left")
-      .select(col("host_hash"),
-        coalesce(col("head_n"), lit(0L)).as("head_n"))
-      .filter(col("head_n") < cfg.perHostBudget)
-      .withColumn("need", lit(headCap.toLong) - col("head_n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val refillBuckets = refillNeeds
-      .select(hostBucketCol(col("host_hash")).as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // Driver-side shortcut: the manifest's backlogPending arithmetic is
+    // exact, so a backlog-less crawl (the common steady shape here) skips
+    // the whole refill decision — no keptCounts aggregation, no collect,
+    // no backlog read: two serial jobs gone from every such round.
+    val refillNeeds: Option[DataFrame] =
+      if (state.backlogPending <= 0) None
+      else {
+        val keptCounts =
+          if (noOverflow) mergedCounts.select(col("host_hash"),
+            col("n").as("head_n"))
+          else kept.groupBy(col("host_hash"))
+            .agg(count(lit(1)).as("head_n"))
+        Some(prevHostState.filter(col("backlog_count") > 0)
+          .join(keptCounts, Seq("host_hash"), "left")
+          .select(col("host_hash"),
+            coalesce(col("head_n"), lit(0L)).as("head_n"))
+          .filter(col("head_n") < cfg.perHostBudget)
+          .withColumn("need", lit(headCap.toLong) - col("head_n"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      }
+    val refillBuckets = refillNeeds match {
+      case None => Nil
+      case Some(rn) => rn.select(hostBucketCol(col("host_hash")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    }
 
     val backlogOpt =
       if (refillBuckets.isEmpty) None
@@ -498,7 +522,7 @@ object CrawlRound {
             .unionByName(
               newWorse.select(feColsC :+ lit(false).as("from_backlog"): _*))
           val pranked = pool
-            .join(refillNeeds.select("host_hash", "need"), Seq("host_hash"))
+            .join(refillNeeds.get.select("host_hash", "need"), Seq("host_hash"))
             .withColumn("rn", row_number().over(w))
             .persist(StorageLevel.MEMORY_AND_DISK)
           prankedP = Some(pranked)
@@ -563,9 +587,12 @@ object CrawlRound {
       // refilled hosts get the freshly-scanned minimum (null = drained;
       // already covers entries added this round — they were in the pool);
       // everyone else keeps least(old bmin, this round's added minimum)
-      val wasRefilled = refillNeeds.select(col("host_hash"),
-        lit(true).as("was_refilled"))
-      st.join(wasRefilled, Seq("host_hash"), "left")
+      val withRefilled = refillNeeds match {
+        case Some(rn) => st.join(rn.select(col("host_hash"),
+          lit(true).as("was_refilled")), Seq("host_hash"), "left")
+        case None => st.withColumn("was_refilled", lit(false))
+      }
+      withRefilled
         .select(col("host_hash"),
           (coalesce(col("backlog_count"), lit(0L)) +
             coalesce(col("d_add"), lit(0L)) -
@@ -611,9 +638,11 @@ object CrawlRound {
 
     ranked.unpersist(); selectedP.unpersist(); newEntries.unpersist()
     suspects.unpersist(); merged.unpersist(); overHosts.unpersist()
+    mergedCounts.unpersist()
     overRanked.foreach(_.unpersist()); prankedP.foreach(_.unpersist())
     backlogAdd.unpersist()
-    refillNeeds.unpersist(); newWorse.unpersist(); prevHostState.unpersist()
+    refillNeeds.foreach(_.unpersist()); newWorse.unpersist()
+    prevHostState.unpersist()
     rmRows.foreach(_.unpersist())
 
     RoundResult(selectedCount, fetchedCount, errorCount, discoveredCount,
