@@ -28,3 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+// local-cluster[...] masters (graft.Bench's scaling pair) launch REAL
+// executor JVMs through the standalone Worker machinery, which resolves
+// the Spark distribution from these variables
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")

@@ -10,14 +10,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
   * Headline metric (BASELINE.json): pages fetched+extracted/sec on the
-  * synthetic Common-Crawl-style corpus, measured at two parallelism levels
-  * on the SAME input — local[2] vs local[8] (N and 4N cores; this sandbox
-  * has no cluster) — with scaling efficiency = (T_N/T_4N)/4.
-  *
-  * Why 2→8 and not 8→32: this VM's 32 vCPUs anti-scale for lock-bearing
-  * JVM workloads (futex storms + 13-18% steal; a pure-CPU microbenchmark
-  * scales 8→32 at 0.94, Spark runs vary 2-7×) — measured and documented
-  * in BASELINE.md. local[2]/local[8] numbers are reproducible.
+  * synthetic Common-Crawl-style corpus, measured at two CLUSTER sizes on
+  * the SAME input — `local-cluster[1,2,8g]` (N = 1 two-core executor JVM)
+  * vs `local-cluster[4,2,8g]` (4N = 4 executor JVMs) — with scaling
+  * efficiency = (T_N/T_4N)/4. This replaced r2's local[2]/local[8]
+  * single-JVM pair: profiling showed one JVM running 8 task threads
+  * burns ~35% more CPU-seconds than 4 independent 2-core JVMs on the
+  * same machine (intra-JVM contention, not machine bandwidth — the
+  * same-session controls scale at 0.92+), so single-JVM local mode
+  * understates the engine's real executor scaling AND misrepresents the
+  * deployment shape (north rule: spark-submit, N vs 4N executors).
   *
   * Corpus/warehouse are staged on tmpfs (/dev/shm) when available so the
   * measurement is compute+shuffle, not virtio-disk writeback.
@@ -37,6 +39,9 @@ object Bench {
       // a compressed web corpus is dense — default 128m splits would give
       // the fetch scan too few tasks to parallelize
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // fat html rows × 4096-row default batches overflow the vectorized
+      // reader's contiguous allocation under memory pressure
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -58,7 +63,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "6000").toInt
+    // 12000 forums (~5.7 M pages): measured r3, scaling efficiency is
+    // W/F-bound and this is the largest corpus whose 2-core leg stays
+    // within the bench budget (eff 0.40 at 1500 forums → 0.70 here,
+    // F ≈ 40 s roughly constant — BASELINE.md)
+    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "12000").toInt
 
     // throughput corpus: uniform hosts (round count = BFS depth, not one
     // hot host's queue — the skewed topology is exercised by the
@@ -105,11 +114,13 @@ object Bench {
     var runIdx = 0
     def crawlAt(cores: Int): (Long, Double) = {
       runIdx += 1
-      // settle the JVM between levels: a stopped session's old-gen debt
-      // otherwise lands as a GC pause inside the next level's first round
+      // settle the driver JVM between levels (executors are fresh JVMs
+      // per level by construction — local-cluster)
       System.gc()
       Thread.sleep(500)
-      val s = session(cores)
+      val s = ClusterHarness.clusterSession(
+        nExecutors = cores / 2, coresPerExecutor = 2, memMb = 8192,
+        appName = s"graft-bench-$cores")
       val pages = CorpusWriter.read(s, pagesPath)
       val (summary, sec) = timed {
         CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
@@ -147,6 +158,11 @@ object Bench {
     val ppsN = fetchedN / tN
     val ppsN4 = fetchedN4 / tN4
     val efficiency = (tN / tN4) / (n4.toDouble / n)
+    // T = W/p + F fit over the level pair: W = parallel work, F = serial
+    // (driver) seconds. F is per-round-ish, W scales with corpus — the
+    // design-point story (BASELINE.md §scaling) hangs off these numbers.
+    val wFit = (tN - tN4) * (n * n4).toDouble / (n4 - n)
+    val fFit = tN4 - wFit / n4
 
     // O(delta)-frontier evidence: per-round wall time flat as the pending
     // frontier grows 10× under a fixed budget (see FrontierBench)
@@ -180,9 +196,11 @@ object Bench {
         s""""gen_sec":${f"$genSec%.1f"},""" +
         s""""local${n}_sec":${f"$tN%.1f"},"local${n}_pps":${f"$ppsN%.1f"},""" +
         s""""local${n4}_sec":${f"$tN4%.1f"},"local${n4}_pps":${f"$ppsN4%.1f"},""" +
-        s""""scaling_pair":"local[$n] -> local[$n4]",""" +
+        s""""scaling_pair":"local-cluster[${n / 2}x2core-executors] -> local-cluster[${n4 / 2}x2core-executors]",""" +
+        s""""mode":"separate executor JVMs (standalone worker), verifyText=false (since r2)",""" +
         s""""runs":$runsJson,"aggregation":"min per level over interleaved repeats",""" +
         s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+        s""""wf_fit":{"w_sec":${f"$wFit%.1f"},"f_sec":${f"$fFit%.1f"}},""" +
         s""""control_cpu_eff":${f"$cpuEff%.3f"},""" +
         s""""control_membw_eff":${f"$membwEff%.3f"},""" +
         s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}}"""

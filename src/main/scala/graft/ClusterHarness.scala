@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Real multi-executor sessions inside the sandbox: `local-cluster[n,c,m]`
+  * boots the standalone Master/Worker in-process and launches each
+  * executor as its OWN JVM — the honest analog of "spark-submit at two
+  * cluster sizes (N and 4N executors)" (north rule) on one machine, and
+  * the measurement mode the r3 scaling work showed matters: a single JVM
+  * running 8 task threads loses ~35% CPU-seconds to intra-JVM contention
+  * that four separate 2-core executor JVMs do not pay.
+  */
+object ClusterHarness {
+
+  /** Executor JVMs need the app classes on their classpath. The bench may
+    * be launched straight from sbt (no packaged jar), so package
+    * `target/scala-2.13/classes` into a temp jar once per process. */
+  lazy val appJar: String = {
+    val classes = new java.io.File("target/scala-2.13/classes")
+    require(classes.isDirectory,
+      s"${classes.getPath} missing — compile before running the bench")
+    val out = java.nio.file.Files.createTempFile("graft-app", ".jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(out))
+    def walk(dir: java.io.File, prefix: String): Unit =
+      dir.listFiles().sortBy(_.getName).foreach { f =>
+        if (f.isDirectory) walk(f, prefix + f.getName + "/")
+        else {
+          jos.putNextEntry(new java.util.zip.ZipEntry(prefix + f.getName))
+          java.nio.file.Files.copy(f.toPath, jos)
+          jos.closeEntry()
+        }
+      }
+    walk(classes, "")
+    jos.close()
+    out.toString
+  }
+
+  /** A session on `local-cluster[nExecutors, coresPerExecutor, memMb]`.
+    * Requires SPARK_HOME + SPARK_SCALA_VERSION in the environment (set by
+    * build.sbt for forked runs) so the Worker can build executor
+    * commands; `spark.test.home` covers the in-process Worker itself. */
+  def clusterSession(nExecutors: Int, coresPerExecutor: Int, memMb: Int,
+                     appName: String): SparkSession = {
+    System.setProperty("spark.test.home", "/opt/spark")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val totalCores = nExecutors * coresPerExecutor
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$nExecutors,$coresPerExecutor,$memMb]")
+      .appName(appName)
+      .config("spark.jars", "file://" + appJar)
+      .config("spark.sql.shuffle.partitions", totalCores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // fat html rows overflow the vectorized reader's 4096-row default
+      // batch on the bench corpus (measured: 31 MB contiguous request)
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
