@@ -139,21 +139,36 @@ object Bench {
     // capability. Every raw run is reported in the JSON for transparency.
     val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "2,8,2,8")
       .split(',').map(_.trim.toInt).toSeq
-    val runs = order.map { cores =>
-      val (f, t) = crawlAt(cores)
-      println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f")
-      (cores, f, t)
+    // one failed leg (executor OOM, transient cluster hiccup) must not
+    // lose the whole round's recorded JSON — skip it, keep the rest, as
+    // long as each level retains at least one successful run
+    val runs = order.flatMap { cores =>
+      try {
+        val (f, t) = crawlAt(cores)
+        println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f")
+        Some((cores, f, t))
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] crawl local[$cores] FAILED: ${e.getMessage}")
+          None
+      }
     }
     val n = order.min
     val n4 = order.max
+    require(runs.exists(_._1 == n) && runs.exists(_._1 == n4),
+      s"need at least one successful run per level, got: $runs")
     require(runs.map(_._2).distinct.size == 1,
       s"nondeterministic crawl: ${runs.map(_._2).distinct}")
     val (_, fetchedN, tN) = runs.filter(_._1 == n).minBy(_._3)
     val (_, fetchedN4, tN4) = runs.filter(_._1 == n4).minBy(_._3)
 
     // machine ceiling, measured in the same session as the crawl runs
-    val cpuEff = Controls.controlEff(n, n4, membw = false)
-    val membwEff = Controls.controlEff(n, n4, membw = true)
+    // (-1 = control failed; never abort the bench after the expensive
+    // crawl measurements already ran)
+    def ctl(membw: Boolean): Double =
+      try Controls.controlEff(n, n4, membw) catch { case _: Throwable => -1.0 }
+    val cpuEff = ctl(membw = false)
+    val membwEff = ctl(membw = true)
     println(f"[bench] controls $n->$n4: cpu_eff=$cpuEff%.3f membw_eff=$membwEff%.3f")
     val ppsN = fetchedN / tN
     val ppsN4 = fetchedN4 / tN4
@@ -164,13 +179,22 @@ object Bench {
     val wFit = (tN - tN4) * (n * n4).toDouble / (n4 - n)
     val fFit = tN4 - wFit / n4
 
+    def guarded(tag: String)(f: => String): String =
+      try f catch {
+        case e: Throwable =>
+          println(s"[bench] $tag FAILED: ${e.getMessage}")
+          s"""{"error":"${e.getClass.getSimpleName}"}"""
+      }
+
     // O(delta)-frontier evidence: per-round wall time flat as the pending
     // frontier grows 10× under a fixed budget (see FrontierBench)
-    val fbJson = FrontierBench.json(100000L, 30, 10, s"$work/fb")
+    val fbJson = guarded("frontier_scaling")(
+      FrontierBench.json(100000L, 30, 10, s"$work/fb"))
 
     // burst-confirm evidence: confirm cost vs 30× seen growth, probe path
     // against the replaced shuffle shape (see SeenBench)
-    val sbJson = SeenBench.json(1000000L, 30, 500000L, s"$work/sb")
+    val sbJson = guarded("seen_scaling")(
+      SeenBench.json(1000000L, 30, 500000L, s"$work/sb"))
 
     // query timings at full parallelism over the driver's sf dir; the
     // golden queries' sf0.01 pin-check is a correctness-gate concern, not
