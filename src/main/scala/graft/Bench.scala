@@ -121,16 +121,21 @@ object Bench {
       val s = ClusterHarness.clusterSession(
         nExecutors = cores / 2, coresPerExecutor = 2, memMb = 8192,
         appName = s"graft-bench-$cores")
-      val pages = CorpusWriter.read(s, pagesPath)
-      val (summary, sec) = timed {
-        CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
-          expectedUrls = 1L << 24)
+      try {
+        val pages = CorpusWriter.read(s, pagesPath)
+        val (summary, sec) = timed {
+          CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
+            expectedUrls = 1L << 24)
+        }
+        (summary.totalFetched, sec)
+      } finally {
+        // ALWAYS stop: a leaked context would make the next leg's
+        // getOrCreate silently reuse the OLD cluster size, corrupting
+        // every subsequent scaling number; and free the tmpfs warehouse
+        s.stop()
+        scala.reflect.io.Path(new java.io.File(s"$work/wh-$cores-$runIdx"))
+          .deleteRecursively()
       }
-      s.stop()
-      // free the warehouse between runs (tmpfs is RAM)
-      scala.reflect.io.Path(new java.io.File(s"$work/wh-$cores-$runIdx"))
-        .deleteRecursively()
-      (summary.totalFetched, sec)
     }
 
     // interleaved repeats, best-of per level: this VM's run-to-run spread
@@ -176,8 +181,14 @@ object Bench {
     // T = W/p + F fit over the level pair: W = parallel work, F = serial
     // (driver) seconds. F is per-round-ish, W scales with corpus — the
     // design-point story (BASELINE.md §scaling) hangs off these numbers.
-    val wFit = (tN - tN4) * (n * n4).toDouble / (n4 - n)
-    val fFit = tN4 - wFit / n4
+    // (single-level runs have no pair to fit: emit 0s, not Infinity/NaN,
+    // which would break the one-JSON-line contract)
+    val (wFit, fFit) =
+      if (n == n4) (0.0, 0.0)
+      else {
+        val w = (tN - tN4) * (n * n4).toDouble / (n4 - n)
+        (w, tN4 - w / n4)
+      }
 
     def guarded(tag: String)(f: => String): String =
       try f catch {

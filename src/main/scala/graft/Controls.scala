@@ -58,7 +58,12 @@ object Controls {
       val len =
         if (membwPool.nonEmpty) membwPool(0).length // keep work comparable
         else {
-          val budget = Runtime.getRuntime.maxMemory / 2 / 8 / threads
+          // budget against the LARGEST level the pool will grow to (the
+          // controls run 2→8 threads): sizing from the first call's
+          // thread count would let the 8-thread extension allocate past
+          // the heap at the fixed length
+          val maxThreads = math.max(threads, 8)
+          val budget = Runtime.getRuntime.maxMemory / 2 / 8 / maxThreads
           math.max(4 * 1024 * 1024, math.min(full.toLong, budget)).toInt
         }
       membwPool = membwPool ++ Array.fill(threads - membwPool.length)(

@@ -77,15 +77,22 @@ object SeenBench {
     } finally s.stop()
   }
 
-  /** Interleaved 2 reps, min per point (this VM's noise floor — see
-    * BASELINE.md). */
+  /** GENUINELY interleaved 2 reps, min per point: each rep measures the
+    * small and big points adjacently (small-a, big-a, small-b, big-b per
+    * mode), so the ratio never compares time blocks minutes apart on a VM
+    * whose parallel capability drifts 40%+ over tens of minutes
+    * (BASELINE.md §variance). */
   def json(small: Long, factor: Int, nSuspects: Long, scratch: String): String = {
     val big = small * factor
-    def best(nSeen: Long, mode: String): Double =
-      Seq(measure(nSeen, nSuspects, mode, s"$scratch/a"),
-        measure(nSeen, nSuspects, mode, s"$scratch/b")).min
-    val pS = best(small, "probe"); val pB = best(big, "probe")
-    val sS = best(small, "shuffle"); val sB = best(big, "shuffle")
+    def pair(mode: String): (Double, Double) = {
+      val (s1, b1) = (measure(small, nSuspects, mode, s"$scratch/a"),
+        measure(big, nSuspects, mode, s"$scratch/a"))
+      val (s2, b2) = (measure(small, nSuspects, mode, s"$scratch/b"),
+        measure(big, nSuspects, mode, s"$scratch/b"))
+      (math.min(s1, s2), math.min(b1, b2))
+    }
+    val (pS, pB) = pair("probe")
+    val (sS, sB) = pair("shuffle")
     s"""{"seen_small":$small,"seen_big":$big,"suspects":$nSuspects,""" +
       s""""sec_probe_small":${f"$pS%.3f"},"sec_probe_big":${f"$pB%.3f"},""" +
       s""""probe_ratio":${f"${pB / pS}%.3f"},""" +

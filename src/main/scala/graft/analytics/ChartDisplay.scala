@@ -34,10 +34,14 @@ object ChartDisplay {
   val MaxForums = 20
 
   /** Distributed keyword-frequency core: (keyword, cnt) per search term,
-    * zero-count terms preserved. One pass over replies; the terms ride as
-    * a broadcast build side (BroadcastNestedLoopJoin — the pattern that
-    * holds at any replies size). Matching is regex containment, exactly
-    * pandas `str.contains(term, na=False)` on non-null content. */
+    * zero-count terms preserved. One pass over replies with the terms as
+    * the broadcast build side of an INNER BroadcastNestedLoopJoin — the
+    * shape that holds at any replies size. (An outer join from the terms
+    * side cannot broadcast the terms: Spark only builds the right side of
+    * a LeftOuter join, so the hint would silently flip the broadcast onto
+    * the full replies table.) Zero-count terms are restored by a
+    * tiny-by-tiny left join afterwards. Matching is regex containment,
+    * exactly pandas `str.contains(term, na=False)` on non-null content. */
   def keywordFrequencyDF(replies: DataFrame, keywords: Seq[String]): DataFrame = {
     val spark = replies.sparkSession
     import spark.implicits._
@@ -46,10 +50,13 @@ object ChartDisplay {
     val content = replies
       .filter(col("content").isNotNull && col("content") =!= "")
       .select(col("content"))
-    broadcast(kdf)
-      .join(content, expr("content RLIKE keyword"), "left")
+    val matched = content
+      .join(broadcast(kdf), expr("content RLIKE keyword"))
       .groupBy(col("keyword"))
-      .agg(count(col("content")).as("cnt"))
+      .agg(count(lit(1)).as("matched"))
+    broadcast(kdf).join(matched, Seq("keyword"), "left")
+      .select(col("keyword"),
+        coalesce(col("matched"), lit(0L)).as("cnt"))
   }
 
   /** API-shaped result: term → count in input order (python dict

@@ -146,10 +146,19 @@ object Snapshots {
       val names = try stream.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("bloom-") && n.endsWith(".bin"))
-        .toSeq.sorted
+        .toSeq
       finally stream.close()
       require(names.nonEmpty, s"no bloom files in $dir")
-      names.map(n => Files.readAllBytes(dir.resolve(n))).toArray
+      // place by the PARSED shard index, never lexicographic filename
+      // order — at ≥1000 shards the %03d padding overflows and a sort
+      // would put shards at wrong indices (probe reads the wrong range
+      // ⇒ Bloom false negatives ⇒ re-crawled URLs)
+      val byIdx = names
+        .map(n => n.stripPrefix("bloom-").stripSuffix(".bin").toInt -> n)
+        .sortBy(_._1)
+      require(byIdx.map(_._1) == byIdx.indices.toList,
+        s"bloom shard files not contiguous in $dir: ${byIdx.map(_._1)}")
+      byIdx.map { case (_, n) => Files.readAllBytes(dir.resolve(n)) }.toArray
     }
   }
 

@@ -61,5 +61,13 @@ class ChartDisplaySpec extends AnyFunSuite {
     // the 10-term cap (views.py MAX)
     val many = (1 to 15).map(i => s"t$i").mkString(" ")
     assert(ChartDisplay.keywordFrequency(replies, many).size == 10)
+
+    // plan shape: the TERMS are the broadcast build side (BuildRight of
+    // the inner BNLJ); the replies content side must stream, never
+    // broadcast — the property that holds at any replies size
+    val plan = ChartDisplay.keywordFrequencyDF(replies, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      plan.take(2000))
   }
 }
