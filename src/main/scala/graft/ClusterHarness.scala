@@ -12,28 +12,33 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterHarness {
 
-  /** Executor JVMs need the app classes on their classpath. The bench may
-    * be launched straight from sbt (no packaged jar), so package
-    * `target/scala-2.13/classes` into a temp jar once per process. */
+  /** Executor JVMs need the app classes on their classpath. Resolve from
+    * wherever THIS class actually loaded: a jar (spark-submit launch) is
+    * used directly; a classes directory (sbt runMain launch) is packaged
+    * into a temp jar once per process. */
   lazy val appJar: String = {
-    val classes = new java.io.File("target/scala-2.13/classes")
-    require(classes.isDirectory,
-      s"${classes.getPath} missing — compile before running the bench")
-    val out = java.nio.file.Files.createTempFile("graft-app", ".jar")
-    val jos = new java.util.jar.JarOutputStream(
-      java.nio.file.Files.newOutputStream(out))
-    def walk(dir: java.io.File, prefix: String): Unit =
-      dir.listFiles().sortBy(_.getName).foreach { f =>
-        if (f.isDirectory) walk(f, prefix + f.getName + "/")
-        else {
-          jos.putNextEntry(new java.util.zip.ZipEntry(prefix + f.getName))
-          java.nio.file.Files.copy(f.toPath, jos)
-          jos.closeEntry()
+    val loc = new java.io.File(getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI)
+    if (loc.isFile) loc.getAbsolutePath // already a jar
+    else {
+      require(loc.isDirectory,
+        s"${loc.getPath} missing — compile before running the bench")
+      val out = java.nio.file.Files.createTempFile("graft-app", ".jar")
+      val jos = new java.util.jar.JarOutputStream(
+        java.nio.file.Files.newOutputStream(out))
+      def walk(dir: java.io.File, prefix: String): Unit =
+        dir.listFiles().sortBy(_.getName).foreach { f =>
+          if (f.isDirectory) walk(f, prefix + f.getName + "/")
+          else {
+            jos.putNextEntry(new java.util.zip.ZipEntry(prefix + f.getName))
+            java.nio.file.Files.copy(f.toPath, jos)
+            jos.closeEntry()
+          }
         }
-      }
-    walk(classes, "")
-    jos.close()
-    out.toString
+      walk(loc, "")
+      jos.close()
+      out.toString
+    }
   }
 
   /** A session on `local-cluster[nExecutors, coresPerExecutor, memMb]`.
