@@ -52,28 +52,30 @@ object Controls {
     * length is fixed at first use, so per-thread work stays identical
     * across the levels being compared. */
   private var membwPool: Array[Array[Long]] = Array.empty
-  private def arraysFor(threads: Int): Array[Array[Long]] = synchronized {
-    if (membwPool.length < threads) {
-      val full = 32 * 1024 * 1024 // 256 MB per thread
-      val len =
-        if (membwPool.nonEmpty) membwPool(0).length // keep work comparable
-        else {
-          // budget against the LARGEST level the pool will grow to (the
-          // controls run 2→8 threads): sizing from the first call's
-          // thread count would let the 8-thread extension allocate past
-          // the heap at the fixed length
-          val maxThreads = math.max(threads, 8)
-          val budget = Runtime.getRuntime.maxMemory / 2 / 8 / maxThreads
-          math.max(4 * 1024 * 1024, math.min(full.toLong, budget)).toInt
-        }
-      membwPool = membwPool ++ Array.fill(threads - membwPool.length)(
-        Array.tabulate(len)(i => i.toLong))
+  private def arraysFor(threads: Int, maxThreads: Int): Array[Array[Long]] =
+    synchronized {
+      if (membwPool.length < threads) {
+        val full = 32 * 1024 * 1024 // 256 MB per thread
+        val len =
+          if (membwPool.nonEmpty) membwPool(0).length // keep work comparable
+          else {
+            // budget against the LARGEST level the pool will grow to —
+            // passed in by the caller from the levels it will actually
+            // run (a hardcoded 8 here let SPARK_GRAFT_BENCH_ORDER=2,32
+            // grow the pool to 4× the intended half-heap budget after
+            // the expensive crawl measurements — ADVICE r3)
+            val budget =
+              Runtime.getRuntime.maxMemory / 2 / 8 / math.max(threads, maxThreads)
+            math.max(4 * 1024 * 1024, math.min(full.toLong, budget)).toInt
+          }
+        membwPool = membwPool ++ Array.fill(threads - membwPool.length)(
+          Array.tabulate(len)(i => i.toLong))
+      }
+      membwPool
     }
-    membwPool
-  }
 
-  def controlSecs(threads: Int, membw: Boolean): Double = {
-    val arrays = if (membw) arraysFor(threads) else null
+  def controlSecs(threads: Int, membw: Boolean, maxThreads: Int = 8): Double = {
+    val arrays = if (membw) arraysFor(threads, maxThreads) else null
     run(threads, membw, passes = 2, arrays) // untimed: JIT + page faults
     run(threads, membw, passes = if (membw) 24 else 4, arrays)
   }
@@ -83,7 +85,9 @@ object Controls {
   /** Median of 3 interleaved reps per level — host noise hits even pure
     * ALU loops at the 60% level between runs, so single samples lie. */
   def controlEff(n: Int, n4: Int, membw: Boolean): Double = {
-    val pairs = (1 to 3).map(_ => (controlSecs(n, membw), controlSecs(n4, membw)))
+    val m = math.max(n, n4)
+    val pairs = (1 to 3).map(_ =>
+      (controlSecs(n, membw, m), controlSecs(n4, membw, m)))
     median(pairs.map(_._1)) / median(pairs.map(_._2))
   }
 

@@ -732,8 +732,10 @@ object Queries {
 
     // multimodal plumbing: binary payloads → per-partition feature batch;
     // input is the deterministic synthetic media table (sf-independent).
-    // Image rows are REAL PNGs decoded via javax.imageio — the per-kind
-    // ⌊mean_luma·1000⌋ checksum pins the actual decoded pixel values
+    // Image rows are REAL PNGs decoded via javax.imageio; audio rows are
+    // REAL PCM-16 WAVs decoded via javax.sound.sampled — the per-kind
+    // ⌊mean_luma·1000⌋ checksum pins the actual decoded pixel/sample
+    // values (audio n_frames are the decoder's real frame counts)
     "q_multimodal_features" -> ((
       (s: SparkSession, dir: String) => {
         val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
@@ -848,6 +850,12 @@ object Queries {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = minU + (maxU - minU) / 2
+    // FileStreamSource orders new files by modification time; the moved
+    // part files can share an mtime on coarse-granularity filesystems,
+    // which would let a later file sort first — its watermark advance
+    // would silently drop the earlier file's events as late (ADVICE r3).
+    // Strictly-increasing explicit mtimes make batch order deterministic.
+    var mtime = System.currentTimeMillis()
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sess-part")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -856,7 +864,11 @@ object Queries {
         .filter(_.getFileName.toString.startsWith("part-"))
         .findFirst().orElseThrow()
       finally listing.close()
-      java.nio.file.Files.move(part, stage.resolve(name))
+      val dest = stage.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      mtime += 2000
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
       scala.reflect.io.Path(tmp.toFile).deleteRecursively()
     }
     import s.implicits._

@@ -33,17 +33,22 @@ object SeenBench {
   }
 
   /** Stage a seen table of n odd hashes and a suspect table where half the
-    * hashes are seen members, half novel evens. Deterministic. */
+    * hashes are seen members, half novel evens. Deterministic. url_hash2
+    * is a fixed function of url_hash on both sides so true members match
+    * on the full (url_hash, url_hash2) confirm pair. */
   private def stage(s: SparkSession, scratch: String, nSeen: Long,
                     nSuspects: Long): (String, String) = {
     val seenPath = s"$scratch/seen-$nSeen"
-    s.range(nSeen).selectExpr("id * 2 + 1 as url_hash")
+    s.range(nSeen).selectExpr("id * 2 + 1 as url_hash",
+        "xxhash64(id * 2 + 1) as url_hash2")
       .sortWithinPartitions("url_hash")
       .write.mode("overwrite").parquet(seenPath)
     val susPath = s"$scratch/sus-$nSeen"
     s.range(nSuspects).selectExpr(
       "CASE WHEN id % 2 = 0 THEN (id % " + nSeen + ") * 2 + 1 " +
         "ELSE id * 2 END as url_hash",
+      "xxhash64(CASE WHEN id % 2 = 0 THEN (id % " + nSeen + ") * 2 + 1 " +
+        "ELSE id * 2 END) as url_hash2",
       "concat('http://s', id) as url")
       .write.mode("overwrite").parquet(susPath)
     (seenPath, susPath)
@@ -69,7 +74,7 @@ object SeenBench {
         case "shuffle" =>
           val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          try suspects.join(seen, Seq("url_hash"), "left_anti").count()
+          try suspects.join(seen, CrawlRound.ConfirmKey, "left_anti").count()
           finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       }
       require(n == nSuspects / 2, s"confirm returned $n")

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * per-crawl-task artifact bounded by construction (top-k keywords, 3
   * sentiment rows, ≤20 forums, capped summary), so this is a display
   * shim over already-reduced data. The keyword-frequency SCAN, by
-  * contrast, runs over the full replies table and stays distributed: one
-  * broadcast of the ≤10 search terms against a single streamed pass.
+  * contrast, runs over the full replies table and stays distributed: a
+  * single streamed aggregation pass with one foldable-regex counter per
+  * (≤10) search term.
   */
 object ChartDisplay {
 
@@ -34,29 +35,34 @@ object ChartDisplay {
   val MaxForums = 20
 
   /** Distributed keyword-frequency core: (keyword, cnt) per search term,
-    * zero-count terms preserved. One pass over replies with the terms as
-    * the broadcast build side of an INNER BroadcastNestedLoopJoin — the
-    * shape that holds at any replies size. (An outer join from the terms
-    * side cannot broadcast the terms: Spark only builds the right side of
-    * a LeftOuter join, so the hint would silently flip the broadcast onto
-    * the full replies table.) Zero-count terms are restored by a
-    * tiny-by-tiny left join afterwards. Matching is regex containment,
-    * exactly pandas `str.contains(term, na=False)` on non-null content. */
+    * zero-count terms preserved. ONE streamed aggregation pass over
+    * replies with a per-term `sum(when(rlike(literal), 1))` column — the
+    * ≤10 patterns are FOLDABLE literals, so each regex compiles once per
+    * task instead of once per evaluated row (the r3 shape joined on a
+    * non-foldable `content RLIKE keyword` column, recompiling the Pattern
+    * rows × terms times across the full replies scan). No join at all:
+    * the result is the one-row aggregate unpivoted to (keyword, cnt),
+    * which preserves zero-count terms by construction. Matching is regex
+    * containment, exactly pandas `str.contains(term, na=False)` on
+    * non-null content. */
   def keywordFrequencyDF(replies: DataFrame, keywords: Seq[String]): DataFrame = {
     val spark = replies.sparkSession
     import spark.implicits._
     val terms = dedupCap(keywords)
-    val kdf = terms.toDF("keyword")
+    if (terms.isEmpty)
+      return Seq.empty[(String, Long)].toDF("keyword", "cnt")
     val content = replies
       .filter(col("content").isNotNull && col("content") =!= "")
       .select(col("content"))
-    val matched = content
-      .join(broadcast(kdf), expr("content RLIKE keyword"))
-      .groupBy(col("keyword"))
-      .agg(count(lit(1)).as("matched"))
-    broadcast(kdf).join(matched, Seq("keyword"), "left")
-      .select(col("keyword"),
-        coalesce(col("matched"), lit(0L)).as("cnt"))
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("content").rlike(t), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = content.agg(aggs.head, aggs.tail: _*)
+    // empty content ⇒ sums are null ⇒ zero-fill
+    val pairs = terms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), coalesce(col(s"c$i"), lit(0L)))
+    }
+    counts.select(explode(map(pairs: _*)).as(Seq("keyword", "cnt")))
   }
 
   /** API-shaped result: term → count in input order (python dict

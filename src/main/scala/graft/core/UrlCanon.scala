@@ -107,6 +107,11 @@ object UrlCanon {
 
   def urlHash(canonicalUrl: String): Long = XxHash64.hashString(canonicalUrl)
 
+  /** Second independent url hash (seen-confirm pair key — see
+    * [[graft.expressions.UrlExpressions.UrlHash64B]]). */
+  def urlHash2(canonicalUrl: String): Long =
+    XxHash64.hashString(canonicalUrl, 0x9E3779B97F4A7C15L)
+
   def hostHash(host: String): Long = XxHash64.hashString(host)
 
   /** Host bucket in [0, numBuckets): the co-location key shared by the

@@ -71,9 +71,12 @@ object CrawlLoop {
           graft.expressions.UrlExpressions.registerRobots(spark, robots)
           canon = canon.filter(expr("graft_robots_allowed(url)"))
         }
+        // dedupe on the 128-bit pair, not url_hash alone: a 64-bit seed
+        // collision must not silently drop a distinct seed url
         val entries = canon
           .withColumn("url_hash", expr("graft_url_hash(url)"))
-          .dropDuplicates("url_hash")
+          .withColumn("url_hash2", expr("graft_url_hash2(url)"))
+          .dropDuplicates("url_hash", "url_hash2")
           .withColumn("host", expr("graft_url_host(url)"))
           .withColumn("host_hash", expr("graft_url_hash(host)"))
           .withColumn("priority", lit(0))
@@ -81,16 +84,18 @@ object CrawlLoop {
           .withColumn("parent_url", lit(""))
           .withColumn("discovered_round", lit(0))
           .withColumn("warc_ts", lit(epoch))
-          .select(TieredFrontier.feCols.map(col): _*)
+          .select((TieredFrontier.feCols :+ "url_hash2").map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val feOnly = TieredFrontier.feCols.map(col)
         val w = Window.partitionBy(col("host_hash"))
           .orderBy(col("priority"), col("warc_ts"), col("url_hash"))
         val ranked = entries.withColumn("rn", row_number().over(w))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ranked.filter(col("rn") <= headCap).drop("rn")
+        ranked.filter(col("rn") <= headCap).select(feOnly: _*)
           .write.mode("overwrite")
           .parquet(TieredFrontier.headPath(warehouse, 0))
-        val overflow = ranked.filter(col("rn") > headCap).drop("rn")
+        val overflow = ranked.filter(col("rn") > headCap)
+          .select(feOnly: _*)
         // host_state rows carry the backlog's per-host minimum key (the
         // head/backlog ordering invariant — see TieredFrontier); derived
         // with one tiny agg, and its collected rows (≤ overflowing hosts)
@@ -110,7 +115,7 @@ object CrawlLoop {
             .parquet(TieredFrontier.addPath(warehouse, 0))
         hostStateRows.coalesce(1).write.mode("overwrite")
           .parquet(TieredFrontier.hostStatePath(warehouse, 0))
-        entries.select("url_hash")
+        entries.select("url_hash", "url_hash2")
           .sortWithinPartitions(col("url_hash"))
           .write.mode("overwrite")
           .parquet(Snapshots.tablePath(warehouse, 0, "seen_delta"))
@@ -152,7 +157,7 @@ object CrawlLoop {
       val prev = round - 1
       val head = TieredFrontier.readHead(spark, warehouse, prev)
       val seen = Snapshots.readTable(spark, warehouse, "seen_delta", prev)
-        .getOrElse(spark.emptyDataset[Long].toDF("url_hash"))
+        .getOrElse(Seq.empty[(Long, Long)].toDF("url_hash", "url_hash2"))
       val bloom =
         if (bloomShards != null) bloomShards
         else Snapshots.readBloomShards(warehouse, prev)

@@ -42,6 +42,33 @@ object UrlExpressions {
       copy(child = c)
   }
 
+  /** Second, independent 64-bit url hash (`url_hash2`): xxhash64 of the
+    * UTF-8 string under a fixed non-zero seed. The seen-confirm join
+    * matches on the (url_hash, url_hash2) PAIR — at the 10^10-URL design
+    * point a single 64-bit key expects ~2.7 collisions (each one a novel
+    * URL silently "confirmed seen" and never crawled); the 128-bit pair
+    * pushes that to ~10^-19. Only `seen_delta` carries the extra column —
+    * the frontier schema is unchanged. */
+  val Hash2Seed: Long = 0x9E3779B97F4A7C15L
+
+  case class UrlHash64B(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_url_hash2"
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(
+        XxHash64.hash(v.asInstanceOf[UTF8String].getBytes, Hash2Seed))
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.core.XxHash64.hash($c.getBytes(), ${Hash2Seed}L)")
+
+    override protected def withNewChildInternal(c: Expression): UrlHash64B =
+      copy(child = c)
+  }
+
   /** Lower-cased host of a URL (frontier `host` column). */
   case class UrlHost(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -210,6 +237,8 @@ object UrlExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_url_hash",
       exprs => UrlHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_url_hash2",
+      exprs => UrlHash64B(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_url_host",
       exprs => UrlHost(exprs.head), "scala_udf")
   }

@@ -181,7 +181,7 @@ object Snapshots {
       "backlog_base" -> TieredFrontier.backlogSchema,
       "host_state" -> TieredFrontier.hostStateSchema,
       "seen_delta" -> org.apache.spark.sql.types.StructType.fromDDL(
-        "url_hash BIGINT"),
+        "url_hash BIGINT, url_hash2 BIGINT"),
       "backlog_rm" -> org.apache.spark.sql.types.StructType.fromDDL(
         "url_hash BIGINT, host_hash BIGINT"),
       "misses" -> org.apache.spark.sql.types.StructType.fromDDL(

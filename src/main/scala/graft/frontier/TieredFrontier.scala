@@ -44,9 +44,12 @@ object TieredFrontier {
   val HeadFactor = 8
 
   /** Compact the backlog once tombstones exceed this fraction of its
-    * physical rows (and it is big enough to matter). */
+    * physical rows (and it is big enough to matter). The min-rows floor is
+    * a system property so tests can force compaction at tiny scale. */
   val CompactFraction = 0.3
-  val CompactMinRows = 100000L
+  val DefaultCompactMinRows = 100000L
+  def CompactMinRows: Long = sys.props.get("graft.frontier.compactMinRows")
+    .map(_.toLong).getOrElse(DefaultCompactMinRows)
 
   val feCols: Seq[String] = Seq("url", "url_hash", "host", "host_hash",
     "priority", "depth", "parent_url", "discovered_round", "warc_ts")

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Images are REAL: payloads are PNGs and [[ImageCodec]] decodes them with
   * the JDK's `javax.imageio` (width/height/mean-luma from actual pixels).
-  * Audio/video codec work remains STUBBED — this container ships no
-  * audio/video libraries — behind [[FakeCodec]], a deterministic fake
-  * whose outputs are pure functions of the input bytes. The Spark-side
-  * contract (schema, batch iteration, partitioning) is identical for both,
-  * so swapping FakeCodec for a JNI/javacv decoder changes no plan shape.
+  * Audio is REAL too: payloads are PCM-16 WAV files and [[WavCodec]]
+  * decodes them with the JDK's `javax.sound.sampled` (frame count and
+  * mean absolute amplitude from actual samples). Only VIDEO remains
+  * stubbed — this container ships no video libraries — behind
+  * [[FakeCodec]], a deterministic fake whose outputs are pure functions
+  * of the input bytes. The Spark-side contract (schema, batch iteration,
+  * partitioning) is identical for all three, so swapping FakeCodec for a
+  * JNI/javacv decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -76,13 +79,69 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for the (absent) audio/video decoders: every
-    * "feature" is a hash-derived pure function of the bytes. */
+  /** Real audio codec over the JDK's `javax.sound.sampled` (ships in
+    * every JRE — zero new dependencies). Payloads are RIFF/WAVE PCM-16
+    * mono; the decoder goes through `AudioSystem.getAudioInputStream`
+    * (real container parsing, not a header skip), then accumulates |s|
+    * over the actual samples in a Long so the mean amplitude is a
+    * deterministic function of the audio. */
+  object WavCodec {
+    val SampleRate = 8000
+
+    /** Deterministic PCM-16 mono WAV: `nFrames` hash-derived samples. */
+    def encodeWav(nFrames: Int, seed: Long): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(44 + nFrames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      data.put("RIFF".getBytes("US-ASCII")).putInt(36 + nFrames * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      data.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(SampleRate).putInt(SampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits/sample
+      data.put("data".getBytes("US-ASCII")).putInt(nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        data.putShort((XxHash64.hashLong(seed * 0x9E3779B97F4A7C15L + i)
+          & 0xffffL).toShort)
+        i += 1
+      }
+      data.array()
+    }
+
+    /** (frameCount, meanAbsAmplitude∈[0,1]) from the decoded samples.
+      * Throws on undecodable bytes — corrupt-payload policy belongs to
+      * the caller, same as [[ImageCodec.decode]]. */
+    def decode(payload: Array[Byte]): (Int, Double) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unsupported audio format: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        require(n > 0, "empty audio payload")
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+          sum += math.abs(s)
+          i += 1
+        }
+        (n, sum.toDouble / n / 32768.0)
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic stand-in for the (absent) VIDEO decoder: every
+    * "feature" is a hash-derived pure function of the bytes. Images and
+    * audio use the real codecs above since r3/r4. */
   object FakeCodec {
     def decodeFrames(payload: Array[Byte], kind: String): Int = {
       val h = XxHash64.hash(payload)
       kind match {
-        case "audio" => 1 + (((h >>> 3) % 300).toInt)
         case "video" => 1 + (((h >>> 7) % 120).toInt)
         case _       => 0
       }
@@ -93,25 +152,31 @@ object Multimodal {
   }
 
   /** Synthetic media table. Image rows carry REAL (tiny) PNG payloads with
-    * hash-derived dimensions and pixels; audio/video payloads are opaque
-    * hash-derived bytes for the fake codec path. */
+    * hash-derived dimensions and pixels; audio rows carry REAL PCM-16 WAV
+    * payloads with hash-derived frame counts and samples; video payloads
+    * are opaque hash-derived bytes for the fake codec path. */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val kind = (i % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      if (kind == "image") {
-        val w = 4 + ((XxHash64.hashLong(i, 2L) >>> 4) % 13).toInt
-        val h = 4 + ((XxHash64.hashLong(i, 3L) >>> 4) % 13).toInt
-        MediaRow(i, kind, ImageCodec.encodePng(w, h, i), w, h)
-      } else {
-        val len = 64 + ((XxHash64.hashLong(i) >>> 5) % 192).toInt
-        val payload = Array.tabulate(len)(j =>
-          (XxHash64.hashLong(i * 1000 + j) & 0xff).toByte)
-        MediaRow(i, kind, payload,
-          width = 16 * (1 + ((XxHash64.hashLong(i, 2L) >>> 4) % 64).toInt),
-          height = 16 * (1 + ((XxHash64.hashLong(i, 3L) >>> 4) % 64).toInt))
+      kind match {
+        case "image" =>
+          val w = 4 + ((XxHash64.hashLong(i, 2L) >>> 4) % 13).toInt
+          val h = 4 + ((XxHash64.hashLong(i, 3L) >>> 4) % 13).toInt
+          MediaRow(i, kind, ImageCodec.encodePng(w, h, i), w, h)
+        case "audio" =>
+          val frames = 64 + ((XxHash64.hashLong(i, 4L) >>> 5) % 960).toInt
+          MediaRow(i, kind, WavCodec.encodeWav(frames, i),
+            width = WavCodec.SampleRate, height = 1)
+        case _ =>
+          val len = 64 + ((XxHash64.hashLong(i) >>> 5) % 192).toInt
+          val payload = Array.tabulate(len)(j =>
+            (XxHash64.hashLong(i * 1000 + j) & 0xff).toByte)
+          MediaRow(i, kind, payload,
+            width = 16 * (1 + ((XxHash64.hashLong(i, 2L) >>> 4) % 64).toInt),
+            height = 16 * (1 + ((XxHash64.hashLong(i, 3L) >>> 4) % 64).toInt))
       }
     }
   }
@@ -119,20 +184,28 @@ object Multimodal {
   /** Per-partition batched feature extraction — the mapInPandas-shaped
     * pass: one partition = one batch stream, no per-row task overhead,
     * codec state initialized once per partition. Image rows go through
-    * the real ImageIO decode; audio/video through the documented fake. */
+    * the real ImageIO decode, audio rows through the real
+    * javax.sound.sampled decode (mean_luma carries the mean absolute
+    * amplitude — same normalized-[0,1] slot); only video rows use the
+    * documented fake. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        if (r.kind == "image") {
-          val (_, _, luma) = ImageCodec.decode(r.payload)
-          MediaFeatures(r.media_id, r.kind,
-            FakeCodec.featureHash(r.payload), n_frames = 1, mean_luma = luma)
-        } else {
-          MediaFeatures(r.media_id, r.kind,
-            FakeCodec.featureHash(r.payload),
-            FakeCodec.decodeFrames(r.payload, r.kind),
-            FakeCodec.meanLuma(r.payload))
+        r.kind match {
+          case "image" =>
+            val (_, _, luma) = ImageCodec.decode(r.payload)
+            MediaFeatures(r.media_id, r.kind,
+              FakeCodec.featureHash(r.payload), n_frames = 1, mean_luma = luma)
+          case "audio" =>
+            val (frames, amp) = WavCodec.decode(r.payload)
+            MediaFeatures(r.media_id, r.kind,
+              FakeCodec.featureHash(r.payload), frames, amp)
+          case _ =>
+            MediaFeatures(r.media_id, r.kind,
+              FakeCodec.featureHash(r.payload),
+              FakeCodec.decodeFrames(r.payload, r.kind),
+              FakeCodec.meanLuma(r.payload))
         }
       }
     }

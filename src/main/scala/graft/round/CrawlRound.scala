@@ -92,15 +92,25 @@ object CrawlRound {
     *
     * Exactness: the suspect Bloom has no false negatives, so every true
     * match survives the prefilter; false positives on the seen side have
-    * hashes ∉ suspects, so the anti join ignores them. */
+    * hashes ∉ suspects, so the anti join ignores them.
+    *
+    * The match key is the (url_hash, url_hash2) PAIR — two independent
+    * 64-bit hashes. A single 64-bit key expects ~2.7 collisions at the
+    * 10^10-URL design point, and each collision is a genuinely-new URL
+    * silently confirmed seen and never crawled; the 128-bit pair drops
+    * the expectation to ~10^-19. The Bloom stages still key on url_hash
+    * alone (a filter false positive only costs a redundant suspect, never
+    * correctness). */
+  val ConfirmKey: Seq[String] = Seq("url_hash", "url_hash2")
+
   def confirmNew(seen: DataFrame, suspects: DataFrame,
                  nSuspects: Long): DataFrame = {
     val spark = suspects.sparkSession
     if (nSuspects <= SuspectBloomGate) {
       val matchedSeen = seen
-        .join(broadcast(suspects.select("url_hash")), Seq("url_hash"),
+        .join(broadcast(suspects.select(ConfirmKey.map(col): _*)), ConfirmKey,
           "left_semi")
-      suspects.join(broadcast(matchedSeen), Seq("url_hash"), "left_anti")
+      suspects.join(broadcast(matchedSeen), ConfirmKey, "left_anti")
     } else {
       val agg = BloomSeen.bloomBuildUdaf(math.max(nSuspects, 1L << 16),
         fpp = 0.001)
@@ -108,7 +118,7 @@ object CrawlRound {
       val bc = spark.sparkContext.broadcast(row.getAs[Array[Byte]](0))
       val matchedSeen = seen.filter(
         BloomSeen.mightContainCol(bc, col("url_hash")))
-      suspects.join(matchedSeen, Seq("url_hash"), "left_anti")
+      suspects.join(matchedSeen, ConfirmKey, "left_anti")
     }
   }
 
@@ -213,7 +223,7 @@ object CrawlRound {
   def run(spark: SparkSession,
           head: DataFrame,
           pages: DataFrame,
-          seen: DataFrame, // single column url_hash: Long (exact set)
+          seen: DataFrame, // (url_hash, url_hash2): Long pair (exact set)
           bloom: Array[Array[Byte]], // url_hash-range shards (ShardedBloom)
           cfg: Crawl.CrawlConfig,
           round: Int,
@@ -333,13 +343,16 @@ object CrawlRound {
     val missesF = Future {
       // same size gate as the fetch join: fetched ≤ selected rows, so an
       // above-gate round must NOT force a driver-side broadcast here
-      // either (it would reintroduce the OOM the gate exists to prevent)
-      val fetchedHashes = fetched.select("url_hash")
+      // either (it would reintroduce the OOM the gate exists to prevent).
+      // Key is (url_hash, url): the hash narrows the probe, the string
+      // makes it exact — a 64-bit collision between two selected urls
+      // must not erase a miss row from the fetch log.
+      val fetchedHashes = fetched.select("url_hash", "url")
       val side =
         if (selectedCount <= broadcastRowGate) broadcast(fetchedHashes)
         else fetchedHashes
       selectedP
-        .join(side, Seq("url_hash"), "left_anti")
+        .join(side, Seq("url_hash", "url"), "left_anti")
         .select(lit(round).as("round"), col("url"), col("url_hash"),
           col("host"), col("depth"))
         .write.mode("overwrite").parquet(path("misses"))
@@ -374,6 +387,7 @@ object CrawlRound {
         col("m.warc_ts").as("warc_ts"), col("m.depth").as("depth"),
         col("m.parent_url").as("parent_url"))
       .withColumn("url_hash", expr("graft_url_hash(url)"))
+      .withColumn("url_hash2", expr("graft_url_hash2(url)"))
       .withColumn("host", expr("graft_url_host(url)"))
       .withColumn("host_hash", expr("graft_url_hash(host)"))
       .withColumn("discovered_round", lit(round))
@@ -393,8 +407,11 @@ object CrawlRound {
     val confirmedNew =
       if (nSuspects == 0) suspects
       else confirmNew(seen, suspects, nSuspects)
-    val newEntries = definitelyNew.select(feColsC: _*)
-      .unionByName(confirmedNew.select(feColsC: _*))
+    // url_hash2 rides along ONLY into seen_delta (the confirm pair key);
+    // the frontier schema stays url_hash-only
+    val feCols2 = feColsC :+ col("url_hash2")
+    val newEntries = definitelyNew.select(feCols2: _*)
+      .unionByName(confirmedNew.select(feCols2: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // delta Bloom + new count in ONE small job over the cached delta;
@@ -407,7 +424,8 @@ object CrawlRound {
       (if (n == 0) None else Some(shards), n)
     }
     val seenWriteF = Future {
-      newEntries.select(col("url_hash")).sortWithinPartitions(col("url_hash"))
+      newEntries.select(col("url_hash"), col("url_hash2"))
+        .sortWithinPartitions(col("url_hash"))
         .write.mode("overwrite").parquet(path("seen_delta"))
     }
 

@@ -62,12 +62,18 @@ class ChartDisplaySpec extends AnyFunSuite {
     val many = (1 to 15).map(i => s"t$i").mkString(" ")
     assert(ChartDisplay.keywordFrequency(replies, many).size == 10)
 
-    // plan shape: the TERMS are the broadcast build side (BuildRight of
-    // the inner BNLJ); the replies content side must stream, never
-    // broadcast — the property that holds at any replies size
-    val plan = ChartDisplay.keywordFrequencyDF(replies, Seq("spark"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
-      plan.take(2000))
+    // plan shape: ONE streamed aggregation pass, no join of any kind —
+    // and the patterns are foldable literals (each regex compiles once
+    // per task, not per evaluated row), the property that holds at any
+    // replies size
+    val qe = ChartDisplay.keywordFrequencyDF(replies,
+      Seq("spark", "da[tn]a")).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    val rlikes = qe.optimizedPlan.collect { case n => n.expressions }
+      .flatten.flatMap(_.collect {
+        case r: org.apache.spark.sql.catalyst.expressions.RLike => r
+      })
+    assert(rlikes.nonEmpty && rlikes.forall(_.right.foldable), plan.take(2000))
   }
 }

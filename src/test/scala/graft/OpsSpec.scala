@@ -128,6 +128,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.decode(white) == ((1, 1, 1.0)))
   }
 
+  test("multimodal audio path is a real codec: WAV frames round-trip, amplitude exact") {
+    // every synthetic audio payload decodes (via javax.sound.sampled,
+    // real RIFF parsing) to EXACTLY its generated frame count
+    val auds = Multimodal.syntheticMedia(spark, 30).collect()
+      .filter(_.kind == "audio")
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      val (frames, amp) = Multimodal.WavCodec.decode(r.payload)
+      assert(frames >= 64 && frames < 64 + 960, s"frames=$frames")
+      assert(r.payload.length == 44 + frames * 2)
+      assert(amp >= 0.0 && amp <= 1.0)
+    }
+    // a hand-built constant-amplitude WAV decodes to the exact mean:
+    // 100 frames of sample 16384 ⇒ mean |s|/32768 = 0.5
+    val bb = java.nio.ByteBuffer.allocate(44 + 200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 200)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(200)
+    (1 to 100).foreach(_ => bb.putShort(16384))
+    assert(Multimodal.WavCodec.decode(bb.array()) == ((100, 0.5)))
+  }
+
   test("text ops: column functions match pure expectations") {
     import spark.implicits._
     val df = Seq(

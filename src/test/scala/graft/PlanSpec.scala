@@ -140,12 +140,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("seen confirm: zero exchanges steady-state, probe-prefiltered burst, identical results") {
     val seenPath = TestSpark.tmpDir("confirm-seen")
-    spark.range(200000).selectExpr("id * 3 as url_hash")
+    spark.range(200000).selectExpr("id * 3 as url_hash",
+      "xxhash64(id * 3) as url_hash2")
       .write.mode("overwrite").parquet(seenPath)
     val seen = spark.read.parquet(seenPath)
     val susPath = TestSpark.tmpDir("confirm-sus")
     // overlap: every even suspect hash is divisible by 3 half the time
     spark.range(4000).selectExpr("id * 2 as url_hash",
+      "xxhash64(id * 2) as url_hash2",
       "concat('http://s', id) as url")
       .write.mode("overwrite").parquet(susPath)
     val suspects = spark.read.parquet(susPath)
@@ -170,9 +172,32 @@ class PlanSpec extends AnyFunSuite {
     val b = over.collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b && a.nonEmpty)
     // and it IS the exact answer
-    val exact = suspects.join(seen, Seq("url_hash"), "left_anti")
+    val exact = suspects.join(seen, CrawlRound.ConfirmKey, "left_anti")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(a == exact)
+  }
+
+  test("seen confirm survives a forced 64-bit url_hash collision (pair key)") {
+    import spark.implicits._
+    import graft.round.CrawlRound
+    // an earlier url whose hashes are (H, X) is in the seen set; a NEW,
+    // different url collides on H but (with certainty 1 - 2^-64 in
+    // production, by construction here) differs on the second hash — the
+    // design-point failure a url_hash-only confirm silently swallows
+    // (~2.7 expected collisions at 10^10 urls, each one an uncrawled url)
+    val H = 42L
+    val seen = Seq((H, 1111L), (7L, 70L)).toDF("url_hash", "url_hash2")
+    val suspects = Seq(
+      (H, 2222L, "http://new.example.com/collides-on-h"), // colliding NEW url
+      (H, 1111L, "http://old.example.com/truly-seen"),    // true duplicate
+      (7L, 70L, "http://old.example.com/also-seen"))
+      .toDF("url_hash", "url_hash2", "url")
+    for (n <- Seq(3L, CrawlRound.SuspectBloomGate + 1)) {
+      val out = CrawlRound.confirmNew(seen, suspects, n)
+        .select("url").collect().map(_.getString(0)).toSeq
+      assert(out == Seq("http://new.example.com/collides-on-h"),
+        s"nSuspects=$n got $out")
+    }
   }
 
   test("bloom probe is a native codegen expression with exact semantics") {
