@@ -63,11 +63,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 12000 forums (~5.7 M pages): measured r3, scaling efficiency is
-    // W/F-bound and this is the largest corpus whose 2-core leg stays
-    // within the bench budget (eff 0.40 at 1500 forums → 0.70 here,
-    // F ≈ 40 s roughly constant — BASELINE.md)
-    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "12000").toInt
+    // 24000 forums (~12 M pages): measured scaling efficiency is W/F-bound
+    // (T = W/p + F with F tens of seconds of serial driver time), so the
+    // honest way to raise the recorded number toward the design point is
+    // more W per level. The r3 attempt at 24k spilled at 8 GB executors —
+    // the default executor memory is now 12 GB (GRAFT_EXEC_MB). W/F curve:
+    // eff 0.40 @1.5k forums → 0.70 @12k (r3 recorded) → the 0.8 target
+    // needs W ≥ 22F.
+    val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "24000").toInt
 
     // throughput corpus: uniform hosts (round count = BFS depth, not one
     // hot host's queue — the skewed topology is exercised by the
@@ -91,25 +94,23 @@ object Bench {
       java.nio.file.Paths.get(scratchBase()), "graft-bench").toString
     val pagesPath = s"$work/pages"
 
-    // corpus generation once, at full parallelism
+    // corpus generation once, at full parallelism (the tiny warm corpus
+    // rides the same session)
+    val warmSpec = spec.copy(nForums = 60)
+    val warmSeeds = SyntheticWeb.seeds(warmSpec, 60)
     val sGen = session(32)
     val (_, genSec) = timed {
       CorpusWriter.write(sGen, spec, pagesPath, numPartitions = 64)
     }
+    CorpusWriter.write(sGen, warmSpec, s"$work/warm-pages", numPartitions = 8)
     val pageCount = sGen.read.parquet(pagesPath).count()
     sGen.stop()
 
-    // warmup: absorb JIT/codegen compilation in a throwaway crawl over a
-    // tiny corpus so the FIRST timed level isn't penalized — measured:
-    // cold round-1 fetch was 46 s at local[2] vs 7 s warm, which inflates
-    // T_N and flatters the efficiency number dishonestly
-    val warmSpec = spec.copy(nForums = 60)
-    val sW = session(8)
-    CorpusWriter.write(sW, warmSpec, s"$work/warm-pages", numPartitions = 8)
-    CrawlLoop.run(sW, CorpusWriter.read(sW, s"$work/warm-pages"),
-      SyntheticWeb.seeds(warmSpec, 60), cfg, s"$work/wh-warm",
-      expectedUrls = 1L << 20)
-    sW.stop()
+    // executor memory per JVM. Both levels run the same per-executor shape
+    // (2 cores, this many MB) — scaling out adds identically-shaped
+    // executors, as on a real cluster. 12 GB default: the r3 runs at 8 GB
+    // hit spill pressure on the 24k-forum corpus.
+    val memMb = sys.env.getOrElse("GRAFT_EXEC_MB", "12288").toInt
 
     var runIdx = 0
     def crawlAt(cores: Int): (Long, Double) = {
@@ -119,9 +120,20 @@ object Bench {
       System.gc()
       Thread.sleep(500)
       val s = ClusterHarness.clusterSession(
-        nExecutors = cores / 2, coresPerExecutor = 2, memMb = 8192,
+        nExecutors = cores / 2, coresPerExecutor = 2, memMb = memMb,
         appName = s"graft-bench-$cores")
       try {
+        // warmup INSIDE the session, untimed: a fresh executor fleet pays
+        // classloading + JIT on its first jobs (~10 s measured). A
+        // production crawl pays that once over hours of rounds, so the
+        // steady-state scaling comparison excludes it — identically at
+        // both levels (each level's fleet warms on the same tiny crawl
+        // before its timer starts). r2/r3 warmed only the driver JVM;
+        // the per-level executor JIT was measured as part of T and
+        // inflated the serial term F at every level.
+        CrawlLoop.run(s, CorpusWriter.read(s, s"$work/warm-pages"),
+          warmSeeds, cfg, s"$work/wh-warm-$cores-$runIdx",
+          expectedUrls = 1L << 20)
         val pages = CorpusWriter.read(s, pagesPath)
         val (summary, sec) = timed {
           CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
@@ -134,6 +146,8 @@ object Bench {
         // every subsequent scaling number; and free the tmpfs warehouse
         s.stop()
         scala.reflect.io.Path(new java.io.File(s"$work/wh-$cores-$runIdx"))
+          .deleteRecursively()
+        scala.reflect.io.Path(new java.io.File(s"$work/wh-warm-$cores-$runIdx"))
           .deleteRecursively()
       }
     }
@@ -197,6 +211,47 @@ object Bench {
           s"""{"error":"${e.getClass.getSimpleName}"}"""
       }
 
+    // skewed-corpus throughput point: the geometric (Zipf-ish) host
+    // distribution on the same machinery, one recorded run at the 4N
+    // level — evidence that skew means politeness-BOUND throughput, not
+    // collapse (BASELINE.md's uniform-corpus-for-throughput claim).
+    // GRAFT_SKEW_FORUMS=0 skips.
+    val skForums = sys.env.getOrElse("GRAFT_SKEW_FORUMS", "3000").toInt
+    val skJson = guarded("crawl_skewed") {
+      if (skForums <= 0) """{"skipped":true}"""
+      else {
+        val skSpec = spec.copy(nForums = skForums, hostSkew = true)
+        val skPages = s"$work/pages-skewed"
+        val sG2 = session(32)
+        try CorpusWriter.write(sG2, skSpec, skPages, numPartitions = 64)
+        finally sG2.stop()
+        val skPageCount = {
+          val s0 = session(8)
+          try s0.read.parquet(skPages).count() finally s0.stop()
+        }
+        val s = ClusterHarness.clusterSession(nExecutors = n4 / 2,
+          coresPerExecutor = 2, memMb = memMb, appName = "graft-bench-skew")
+        try {
+          CrawlLoop.run(s, CorpusWriter.read(s, s"$work/warm-pages"),
+            warmSeeds, cfg, s"$work/wh-warm-skew", expectedUrls = 1L << 20)
+          val (summary, sec) = timed {
+            CrawlLoop.run(s, CorpusWriter.read(s, skPages),
+              SyntheticWeb.seeds(skSpec, skForums), cfg, s"$work/wh-skew",
+              expectedUrls = 1L << 24)
+          }
+          s"""{"forums":$skForums,"pages_total":$skPageCount,""" +
+            s""""fetched":${summary.totalFetched},"rounds":${summary.rounds},""" +
+            s""""sec":${f"$sec%.1f"},""" +
+            s""""pps":${f"${summary.totalFetched / sec}%.1f"},""" +
+            s""""mode":"local-cluster[${n4 / 2}x2core-executors], hostSkew=true"}"""
+        } finally {
+          s.stop()
+          Seq(s"$work/wh-warm-skew", s"$work/wh-skew", skPages).foreach(p =>
+            scala.reflect.io.Path(new java.io.File(p)).deleteRecursively())
+        }
+      }
+    }
+
     // O(delta)-frontier evidence: per-round wall time flat as the pending
     // frontier grows 10× under a fixed budget (see FrontierBench)
     val fbJson = guarded("frontier_scaling")(
@@ -206,6 +261,11 @@ object Bench {
     // against the replaced shuffle shape (see SeenBench)
     val sbJson = guarded("seen_scaling")(
       SeenBench.json(1000000L, 30, 500000L, s"$work/sb"))
+
+    // sharded-Bloom probe evidence: S=8 one-shard-per-row probe vs the
+    // S=1 single filter at identical total geometry (see SeenBench)
+    val shJson = guarded("sharded_seen")(
+      SeenBench.shardedJson(2000000L, 4000000L, 8, s"$work/shb"))
 
     // query timings at full parallelism over the driver's sf dir; the
     // golden queries' sf0.01 pin-check is a correctness-gate concern, not
@@ -239,12 +299,35 @@ object Bench {
         s""""control_cpu_eff":${f"$cpuEff%.3f"},""" +
         s""""control_membw_eff":${f"$membwEff%.3f"},""" +
         s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}}"""
-    println(
+    // Two JSON lines + one file. The FULL detail line first (and written
+    // to a file so docs can cite the exact recorded session); the COMPACT
+    // contract line LAST, sized to fit entirely inside a 2 KB stdout tail
+    // window — the r1-r3 recorded JSONs were captured as an unparseable
+    // tail because the single detail line outgrew the window.
+    val detail =
       s"""{"metric":"pages_fetched_extracted_per_sec","value":${f"$ppsN4%.1f"},""" +
         s""""unit":"pages/sec","queries":$qJson,"sf":"$sfDir",""" +
         s""""crawl":$crawlJson,""" +
+        s""""crawl_skewed":$skJson,""" +
         s""""frontier_scaling":$fbJson,""" +
         s""""seen_scaling":$sbJson,""" +
-        s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}""")
+        s""""sharded_seen":$shJson,""" +
+        s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}"""
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), detail + "\n")
+    catch { case e: Throwable =>
+      println(s"[bench] detail write FAILED: ${e.getMessage}") }
+    println(detail)
+    println(
+      s"""{"metric":"pages_fetched_extracted_per_sec","value":${f"$ppsN4%.1f"},""" +
+        s""""unit":"pages/sec","queries":$qJson,"sf":"$sfDir",""" +
+        s""""crawl":{"fetched":$fetchedN4,""" +
+        s""""local${n}_sec":${f"$tN%.1f"},"local${n4}_sec":${f"$tN4%.1f"},""" +
+        s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+        s""""wf_fit":{"w_sec":${f"$wFit%.1f"},"f_sec":${f"$fFit%.1f"}},""" +
+        s""""control_membw_eff":${f"$membwEff%.3f"},""" +
+        s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}},""" +
+        s""""detail":"$outFile"}""")
   }
 }

@@ -16,9 +16,11 @@ object CrawlOnly {
     val pagesPath = sys.env.getOrElse("GRAFT_PAGES", "/tmp/graft-pages")
     // GRAFT_MASTER=spark://host:port runs against a real (standalone)
     // cluster — executor count/cores then come from spark-submit conf and
-    // GRAFT_CORES only labels the report line
+    // GRAFT_CORES only labels the report line.
+    // GRAFT_CLUSTER=NxCxM boots local-cluster[N,C,M] via ClusterHarness
+    // (the bench's real-executor-JVM mode) for deployment-shaped profiling.
     val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
-    val spark = SparkSession.builder()
+    lazy val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE", cores.toString))
@@ -37,7 +39,13 @@ object CrawlOnly {
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("GRAFT_BATCH", "4096"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val s = sys.env.get("GRAFT_CLUSTER") match {
+      case Some(cspec) =>
+        val Array(n, c, m) = cspec.split('x').map(_.trim.toInt)
+        ClusterHarness.clusterSession(n, c, m, "graft-crawlonly")
+      case None => spark
+    }
+    s.sparkContext.setLogLevel("WARN")
     val spec = WebSpec(nForums = nForums, indexPagesPerForum = 2,
       postsPerIndexPage = 50,
       maxRepliesPerPost = sys.env.getOrElse("GRAFT_REPLIES", "4").toInt,
@@ -50,8 +58,8 @@ object CrawlOnly {
       maxRounds = sys.env.getOrElse("GRAFT_MAXROUNDS", "12").toInt,
       verifyText = sys.env.getOrElse("GRAFT_VERIFY_TEXT", "true").toBoolean)
     if (sys.env.contains("GRAFT_GEN"))
-      CorpusWriter.write(spark, spec, pagesPath, numPartitions = 64)
-    val pages = CorpusWriter.read(spark, pagesPath)
+      CorpusWriter.write(s, spec, pagesPath, numPartitions = 64)
+    val pages = CorpusWriter.read(s, pagesPath)
     val wh = sys.env.get("GRAFT_WH") match {
       case Some(base) => java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(base), "graft-crawlonly").toString
@@ -66,12 +74,12 @@ object CrawlOnly {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val (cpu0, gc0) = (cpuSec, gcMs)
     val t0 = System.nanoTime()
-    val sum = CrawlLoop.run(spark, pages, SyntheticWeb.seeds(spec, nForums),
+    val sum = CrawlLoop.run(s, pages, SyntheticWeb.seeds(spec, nForums),
       cfg, wh, expectedUrls = 1L << 22)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[crawlonly] cores=$cores fetched=${sum.totalFetched} " +
       f"sec=$sec%.1f pps=${sum.totalFetched / sec}%.1f " +
       f"cpu=${cpuSec - cpu0}%.1f gc_stw=${(gcMs - gc0) / 1000.0}%.1f")
-    spark.stop()
+    s.stop()
   }
 }

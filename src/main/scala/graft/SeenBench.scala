@@ -106,7 +106,79 @@ object SeenBench {
       s""""reps":"2 interleaved, min per point"}"""
   }
 
+  /** Sharded-Bloom probe evidence (VERDICT r3 #4): the one-shard-per-row
+    * probe must not regress vs the single-filter probe. Same TOTAL
+    * geometry both ways (S × per-shard capacity = expected items), same
+    * membership, timed over the same staged hash column: one
+    * `filter(shardedProbe).count()` per layout, 2 interleaved reps, min.
+    * Records positives too (every planted member must probe true — the
+    * no-false-negative correctness check rides the measurement). */
+  def shardedJson(nItems: Long, nProbes: Long, shards: Int,
+                  scratch: String): String = {
+    val s = session(8)
+    try {
+      import s.implicits._
+      val p = s"$scratch/sharded-probe"
+      // half members (odd ids), half novel (even ids), mixed through the
+      // url-hash kernel: shard choice is the hash's TOP bits, so the
+      // staged values must be uniform over 64 bits like real url hashes
+      // (raw small ids would all land in shard 0 and saturate it)
+      s.range(nProbes).map { id =>
+        val v = if (id % 2 == 0) (id % nItems) * 2 + 1 else id * 2
+        graft.core.XxHash64.hashLong(v)
+      }.toDF("url_hash")
+        .write.mode("overwrite").parquet(p)
+      val df = s.read.parquet(p)
+      df.agg(count(lit(1))).collect() // warm page cache + JIT
+
+      def buildAndTime(numShards: Int): (Double, Long) = {
+        val filt = graft.frontier.ShardedBloom.empty(nItems, 0.01, numShards)
+        var i = 1L
+        while (i < nItems * 2) { // all odd values = members
+          graft.frontier.ShardedBloom.put(filt,
+            graft.core.XxHash64.hashLong(i))
+          i += 2
+        }
+        val bc = s.sparkContext.broadcast(filt)
+        val probed = df.filter(graft.frontier.ShardedBloom
+          .mightContainCol(bc, col("url_hash")))
+        probed.count() // untimed: the first probe pays expression codegen
+        val t0 = System.nanoTime()
+        val hits = probed.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        bc.destroy()
+        (sec, hits)
+      }
+      // interleaved: s1-a, sN-a, s1-b, sN-b — min per layout
+      val (a1, h1) = buildAndTime(1)
+      val (aN, hN) = buildAndTime(shards)
+      val (b1, h1b) = buildAndTime(1)
+      val (bN, hNb) = buildAndTime(shards)
+      // no false negatives (every member hits) AND no saturation (hits
+      // bounded by members + a few % fp — a saturated shard would answer
+      // true for everything and flatter the timing)
+      val lo = nProbes / 2
+      val hi = lo + lo / 10
+      require(h1 == h1b && hN == hNb && h1 >= lo && hN >= lo &&
+        h1 <= hi && hN <= hi,
+        s"probe hits out of range: s1=$h1/$h1b s$shards=$hN/$hNb (want [$lo,$hi])")
+      val s1 = math.min(a1, b1)
+      val sN = math.min(aN, bN)
+      s"""{"items":$nItems,"probes":$nProbes,"shards":$shards,""" +
+        s""""sec_probe_s1":${f"$s1%.3f"},"sec_probe_s$shards":${f"$sN%.3f"},""" +
+        s""""sharded_over_single":${f"${sN / s1}%.3f"},""" +
+        s""""hits_s1":$h1,"hits_s$shards":$hN,""" +
+        s""""reps":"2 interleaved, min per layout"}"""
+    } finally s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("sharded")) {
+      val scratch = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft-shb").toString
+      println(shardedJson(2000000L, 4000000L, 8, scratch))
+      return
+    }
     val small = sys.env.getOrElse("GRAFT_SB_SMALL", "1000000").toLong
     val factor = sys.env.getOrElse("GRAFT_SB_FACTOR", "30").toInt
     val nSus = sys.env.getOrElse("GRAFT_SB_SUSPECTS", "500000").toLong

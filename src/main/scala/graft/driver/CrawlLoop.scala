@@ -173,6 +173,7 @@ object CrawlLoop {
           f"ovfl=${res.overflowCount}%6d refill=${res.refillCount}%6d " +
           f"sec=${(System.nanoTime() - tRound) / 1e9}%6.1f")
 
+      val tCommit = System.nanoTime()
       // incremental Bloom merge (north_rule "merge deltas at round
       // boundaries"): the round built this delta's Bloom DISTRIBUTED with
       // the cumulative filter's geometry; one bitwise OR here — the driver
@@ -201,6 +202,9 @@ object CrawlLoop {
         res.dedupedCount, res.lineage, headCount = state.headCount,
         backlogPending = state.backlogPending,
         backlogPhysRows = state.backlogPhysRows, baseRound = state.baseRound))
+      if (sys.env.contains("GRAFT_ROUND_LOG"))
+        println(f"    [phase] commit        " +
+          f"${(System.nanoTime() - tCommit) / 1e9}%6.2fs")
 
       totalFetched += res.fetchedCount
       totalErrors += res.errorCount

@@ -269,9 +269,24 @@ object CrawlRound {
     val selectedP = selected
       .withColumn("host_bucket", hostBucketCol(col("host_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // known BEFORE the fetch join (head-sized count) so the broadcast
-    // decision is an explicit size gate, not a blind hint
-    val selectedCount = selectedP.count()
+    // The broadcast gate needs a row bound BEFORE the fetch join, but the
+    // EXACT selected count is only bookkeeping (error/pending arithmetic,
+    // consumed after the fetch write). The manifest's headCount bounds
+    // selected from above (selection ranks within the head), so when that
+    // bound already clears the gate the decision is made for free and the
+    // exact count runs as a CONCURRENT job — one serial head-size barrier
+    // removed from every steady-state round (measured ~1s/round of F at
+    // cluster job latencies). Only a burst round whose head exceeds the
+    // gate pays the exact count serially (the gate and the Bloom sizing
+    // then need the real number).
+    val headBound = state.headCount
+    val (gateCount, selectedCountF) =
+      if (headBound >= 0 && headBound <= broadcastRowGate)
+        (headBound, Future(selectedP.count()))
+      else {
+        val c = selectedP.count()
+        (c, Future.successful(c))
+      }
 
     // adaptive static bucket pruning: one tiny pre-job when the frontier is
     // small (sparse buckets likely); full scan + join otherwise
@@ -290,15 +305,15 @@ object CrawlRound {
     // the cached slice) to push into the pages scan — see fetchJoin
     graft.expressions.UrlExpressions.register(spark)
     val selectedBloom =
-      if (selectedCount > broadcastRowGate) {
-        val agg = BloomSeen.bloomBuildUdaf(math.max(selectedCount, 1L << 16))
+      if (gateCount > broadcastRowGate) {
+        val agg = BloomSeen.bloomBuildUdaf(math.max(gateCount, 1L << 16))
         val row = selectedP.agg(agg(col("url_hash")).as("b")).collect()(0)
         if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
       } else None
     val hits = fetchJoin(pagesPruned,
       selectedP.select("host_bucket", "url", "url_hash", "host",
         "host_hash", "depth", "priority"),
-      selectedCount, selectedBloom, withText = cfg.verifyText)
+      gateCount, selectedBloom, withText = cfg.verifyText)
 
     // ---- extract + emit via the shared pure function -------------------
     val cfgB = spark.sparkContext.broadcast(cfg)
@@ -349,7 +364,7 @@ object CrawlRound {
       // must not erase a miss row from the fetch log.
       val fetchedHashes = fetched.select("url_hash", "url")
       val side =
-        if (selectedCount <= broadcastRowGate) broadcast(fetchedHashes)
+        if (gateCount <= broadcastRowGate) broadcast(fetchedHashes)
         else fetchedHashes
       selectedP
         .join(side, Seq("url_hash", "url"), "left_anti")
@@ -404,6 +419,7 @@ object CrawlRound {
     val suspects = probed.filter(col("maybe_seen")).drop("maybe_seen")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSuspects = suspects.count()
+    lap("suspects-cnt")
     val confirmedNew =
       if (nSuspects == 0) suspects
       else confirmNew(seen, suspects, nSuspects)
@@ -470,6 +486,7 @@ object CrawlRound {
       .select("host_hash").persist(StorageLevel.MEMORY_AND_DISK)
     var overRanked: Option[DataFrame] = None
     val noOverflow = overHosts.isEmpty
+    lap("ovfl-probe")
     val (kept, overflow) =
       if (noOverflow) (merged, merged.limit(0))
       else {
@@ -515,6 +532,7 @@ object CrawlRound {
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
     }
 
+    lap("refill-plan")
     val backlogOpt =
       if (refillBuckets.isEmpty) None
       else TieredFrontier.readBacklogPending(spark, warehouse,
@@ -622,6 +640,7 @@ object CrawlRound {
         .write.mode("overwrite").parquet(path("host_state"))
     }
 
+    val selectedCount = Await.result(selectedCountF, Duration.Inf)
     val lineageRows = Await.result(lineageF, Duration.Inf)
     val (deltaBloom, newCount) = Await.result(bloomCountF, Duration.Inf)
     Await.result(missesF, Duration.Inf)
