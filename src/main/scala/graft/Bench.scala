@@ -108,9 +108,12 @@ object Bench {
 
     // executor memory per JVM. Both levels run the same per-executor shape
     // (2 cores, this many MB) — scaling out adds identically-shaped
-    // executors, as on a real cluster. 12 GB default: the r3 runs at 8 GB
-    // hit spill pressure on the 24k-forum corpus.
-    val memMb = sys.env.getOrElse("GRAFT_EXEC_MB", "12288").toInt
+    // executors, as on a real cluster. 16 GB default, sized by measured
+    // proportionality: the 12k corpus fit in 8 GB (r3); 24k at 12 GB
+    // OOM'd the single-executor leg (the whole cached working set lands
+    // on one JVM there, and the Bloom-UDAF's buffer growth is untracked
+    // by the memory manager), so 2× data gets 2× heap.
+    val memMb = sys.env.getOrElse("GRAFT_EXEC_MB", "16384").toInt
 
     var runIdx = 0
     def crawlAt(cores: Int): (Long, Double) = {
@@ -329,5 +332,8 @@ object Bench {
         s""""control_membw_eff":${f"$membwEff%.3f"},""" +
         s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}},""" +
         s""""detail":"$outFile"}""")
+    // free the tmpfs staging (corpus + warm corpus): a dead bench's
+    // leftovers are RAM taken from the next session's executors
+    scala.reflect.io.Path(new java.io.File(work)).deleteRecursively()
   }
 }

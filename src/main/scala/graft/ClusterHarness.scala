@@ -54,6 +54,11 @@ object ClusterHarness {
     val s = SparkSession.builder()
       .master(s"local-cluster[$nExecutors,$coresPerExecutor,$memMb]")
       .appName(appName)
+      // local-cluster's third parameter is WORKER capacity, not executor
+      // heap — without this line every executor launches at the 1 GB
+      // spark.executor.memory default regardless of memMb (found when the
+      // 24k-forum corpus OOM'd "16 GB" executors that were really 1 GB)
+      .config("spark.executor.memory", s"${memMb}m")
       .config("spark.jars", "file://" + appJar)
       .config("spark.sql.shuffle.partitions", totalCores.toString)
       .config("spark.sql.session.timeZone", "UTC")
