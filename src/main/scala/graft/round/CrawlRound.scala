@@ -272,17 +272,19 @@ object CrawlRound {
     // The broadcast gate needs a row bound BEFORE the fetch join, but the
     // EXACT selected count is only bookkeeping (error/pending arithmetic,
     // consumed after the fetch write). The manifest's headCount bounds
-    // selected from above (selection ranks within the head), so when that
-    // bound already clears the gate the decision is made for free and the
-    // exact count runs as a CONCURRENT job — one serial head-size barrier
-    // removed from every steady-state round (measured ~1s/round of F at
-    // cluster job latencies). Only a burst round whose head exceeds the
-    // gate pays the exact count serially (the gate and the Bloom sizing
-    // then need the real number).
+    // selected from above (selection ranks within the head), so the gate
+    // decision — and the selected-slice Bloom's sizing above the gate —
+    // use the bound, and the exact count runs as a CONCURRENT job: one
+    // serial head-size barrier removed from EVERY round (measured
+    // 2-8 s/round of serial time in above-gate rounds at cluster job
+    // latencies). Conservative in the bound direction only: a round whose
+    // head exceeds the gate but whose selected slice is under it takes
+    // the Bloom-prefiltered join instead of the broadcast — correct, and
+    // the Bloom oversize is capped by HeadFactor. The serial count
+    // survives only when no manifest bound exists (headCount < 0).
     val headBound = state.headCount
     val (gateCount, selectedCountF) =
-      if (headBound >= 0 && headBound <= broadcastRowGate)
-        (headBound, Future(selectedP.count()))
+      if (headBound >= 0) (headBound, Future(selectedP.count()))
       else {
         val c = selectedP.count()
         (c, Future.successful(c))

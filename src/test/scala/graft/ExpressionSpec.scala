@@ -17,13 +17,18 @@ class ExpressionSpec extends AnyFunSuite {
       "https://a.com/home/main?un=user7")
     val df = urls.toDF("url")
       .selectExpr("url", "graft_url_hash(url) AS h", "graft_url_host(url) AS host",
-        "graft_url_hash(graft_url_host(url)) AS hh")
+        "graft_url_hash(graft_url_host(url)) AS hh",
+        "graft_url_hash2(url) AS h2")
     val rows = df.collect()
     rows.foreach { r =>
       val u = r.getString(0)
       assert(r.getLong(1) == UrlCanon.urlHash(u))
       assert(r.getString(2) == UrlCanon.host(u))
       assert(r.getLong(3) == UrlCanon.hostHash(UrlCanon.host(u)))
+      // second confirm-key hash: matches the pure kernel and is genuinely
+      // independent of (never equal to) the primary hash on real urls
+      assert(r.getLong(4) == UrlCanon.urlHash2(u))
+      assert(r.getLong(4) != r.getLong(1))
     }
     // codegen'd: over a real scan (a local Seq gets constant-folded into a
     // LocalTableScan — itself proof the interpreted path works) the plan
