@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Headline metric (BASELINE.json): pages fetched+extracted/sec on the
   * synthetic Common-Crawl-style corpus, measured at two CLUSTER sizes on
-  * the SAME input — `local-cluster[1,2,8g]` (N = 1 two-core executor JVM)
-  * vs `local-cluster[4,2,8g]` (4N = 4 executor JVMs) — with scaling
+  * the SAME input — `local-cluster[1,2,16g]` (N = 1 two-core executor JVM)
+  * vs `local-cluster[4,2,16g]` (4N = 4 executor JVMs) — with scaling
   * efficiency = (T_N/T_4N)/4. This replaced r2's local[2]/local[8]
   * single-JVM pair: profiling showed one JVM running 8 task threads
   * burns ~35% more CPU-seconds than 4 independent 2-core JVMs on the
@@ -67,7 +67,7 @@ object Bench {
     // (T = W/p + F with F tens of seconds of serial driver time), so the
     // honest way to raise the recorded number toward the design point is
     // more W per level. The r3 attempt at 24k spilled at 8 GB executors —
-    // the default executor memory is now 12 GB (GRAFT_EXEC_MB). W/F curve:
+    // the default executor memory is now 16 GB (GRAFT_EXEC_MB). W/F curve:
     // eff 0.40 @1.5k forums → 0.70 @12k (r3 recorded) → the 0.8 target
     // needs W ≥ 22F.
     val nForums = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORUMS", "24000").toInt
@@ -116,7 +116,7 @@ object Bench {
     val memMb = sys.env.getOrElse("GRAFT_EXEC_MB", "16384").toInt
 
     var runIdx = 0
-    def crawlAt(cores: Int): (Long, Double) = {
+    def crawlAt(cores: Int): (Long, Double, Int) = {
       runIdx += 1
       // settle the driver JVM between levels (executors are fresh JVMs
       // per level by construction — local-cluster)
@@ -142,7 +142,7 @@ object Bench {
           CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
             expectedUrls = 1L << 24)
         }
-        (summary.totalFetched, sec)
+        (summary.totalFetched, sec, summary.rounds)
       } finally {
         // ALWAYS stop: a leaked context would make the next leg's
         // getOrCreate silently reuse the OLD cluster size, corrupting
@@ -166,9 +166,9 @@ object Bench {
     // long as each level retains at least one successful run
     val runs = order.flatMap { cores =>
       try {
-        val (f, t) = crawlAt(cores)
-        println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f")
-        Some((cores, f, t))
+        val (f, t, r) = crawlAt(cores)
+        println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f rounds=$r")
+        Some((cores, f, t, r))
       } catch {
         case e: Throwable =>
           println(s"[bench] crawl local[$cores] FAILED: ${e.getMessage}")
@@ -179,10 +179,11 @@ object Bench {
     val n4 = order.max
     require(runs.exists(_._1 == n) && runs.exists(_._1 == n4),
       s"need at least one successful run per level, got: $runs")
-    require(runs.map(_._2).distinct.size == 1,
-      s"nondeterministic crawl: ${runs.map(_._2).distinct}")
-    val (_, fetchedN, tN) = runs.filter(_._1 == n).minBy(_._3)
-    val (_, fetchedN4, tN4) = runs.filter(_._1 == n4).minBy(_._3)
+    require(runs.map(_._2).distinct.size == 1 &&
+      runs.map(_._4).distinct.size == 1,
+      s"nondeterministic crawl: ${runs.map(r => (r._2, r._4)).distinct}")
+    val (_, fetchedN, tN, nRounds) = runs.filter(_._1 == n).minBy(_._3)
+    val (_, fetchedN4, tN4, _) = runs.filter(_._1 == n4).minBy(_._3)
 
     // machine ceiling, measured in the same session as the crawl runs
     // (-1 = control failed; never abort the bench after the expensive
@@ -287,10 +288,10 @@ object Bench {
 
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val runsJson = runs.map { case (c, _, t) =>
+    val runsJson = runs.map { case (c, _, t, _) =>
       s"""{"cores":$c,"sec":${f"$t%.1f"}}""" }.mkString("[", ",", "]")
     val crawlJson =
-      s"""{"pages_total":$pageCount,"fetched":$fetchedN4,""" +
+      s"""{"pages_total":$pageCount,"fetched":$fetchedN4,"rounds":$nRounds,""" +
         s""""gen_sec":${f"$genSec%.1f"},""" +
         s""""local${n}_sec":${f"$tN%.1f"},"local${n}_pps":${f"$ppsN%.1f"},""" +
         s""""local${n4}_sec":${f"$tN4%.1f"},"local${n4}_pps":${f"$ppsN4%.1f"},""" +
