@@ -87,34 +87,54 @@ object CrawlLoop {
           .select((TieredFrontier.feCols :+ "url_hash2").map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val feOnly = TieredFrontier.feCols.map(col)
-        val w = Window.partitionBy(col("host_hash"))
-          .orderBy(col("priority"), col("warc_ts"), col("url_hash"))
-        val ranked = entries.withColumn("rn", row_number().over(w))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ranked.filter(col("rn") <= headCap).select(feOnly: _*)
-          .write.mode("overwrite")
-          .parquet(TieredFrontier.headPath(warehouse, 0))
-        val overflow = ranked.filter(col("rn") > headCap)
-          .select(feOnly: _*)
-        // host_state rows carry the backlog's per-host minimum key (the
-        // head/backlog ordering invariant — see TieredFrontier); derived
-        // with one tiny agg, and its collected rows (≤ overflowing hosts)
-        // give the manifest's overflow count without an extra job
-        val hostStateRows = overflow.groupBy(col("host_hash"))
-          .agg(count(lit(1)).as("backlog_count"),
-            min(struct(col("priority"), col("warc_ts"), col("url_hash")))
-              .as("bmin"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val overflowCount = hostStateRows
-          .agg(coalesce(sum(col("backlog_count")), lit(0L))).collect()(0)
-          .getLong(0)
-        if (overflowCount > 0)
-          overflow.withColumn("host_bucket",
-            CrawlRound.hostBucketCol(col("host_hash")))
-            .write.mode("overwrite").partitionBy("host_bucket")
-            .parquet(TieredFrontier.addPath(warehouse, 0))
-        hostStateRows.coalesce(1).write.mode("overwrite")
-          .parquet(TieredFrontier.hostStatePath(warehouse, 0))
+        // Fast path: when the RAW seed list is no bigger than one host's
+        // head capacity, no host can overflow (dedupe only shrinks), so
+        // head = all entries and the backlog is empty — the per-host
+        // window, overflow agg, and backlog write are skipped (3 serial
+        // jobs off every small-seed session; the bench's frontier harness
+        // with millions of seeds still takes the distributed split).
+        var overflowCount = 0L
+        var rankedOpt: Option[org.apache.spark.sql.DataFrame] = None
+        if (seedUrls.size <= headCap) {
+          entries.select(feOnly: _*).write.mode("overwrite")
+            .parquet(TieredFrontier.headPath(warehouse, 0))
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+              TieredFrontier.hostStateSchema)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(TieredFrontier.hostStatePath(warehouse, 0))
+        } else {
+          val w = Window.partitionBy(col("host_hash"))
+            .orderBy(col("priority"), col("warc_ts"), col("url_hash"))
+          val ranked = entries.withColumn("rn", row_number().over(w))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rankedOpt = Some(ranked)
+          ranked.filter(col("rn") <= headCap).select(feOnly: _*)
+            .write.mode("overwrite")
+            .parquet(TieredFrontier.headPath(warehouse, 0))
+          val overflow = ranked.filter(col("rn") > headCap)
+            .select(feOnly: _*)
+          // host_state rows carry the backlog's per-host minimum key (the
+          // head/backlog ordering invariant — see TieredFrontier); derived
+          // with one tiny agg, and its collected rows (≤ overflowing hosts)
+          // give the manifest's overflow count without an extra job
+          val hostStateRows = overflow.groupBy(col("host_hash"))
+            .agg(count(lit(1)).as("backlog_count"),
+              min(struct(col("priority"), col("warc_ts"), col("url_hash")))
+                .as("bmin"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          overflowCount = hostStateRows
+            .agg(coalesce(sum(col("backlog_count")), lit(0L))).collect()(0)
+            .getLong(0)
+          if (overflowCount > 0)
+            overflow.withColumn("host_bucket",
+              CrawlRound.hostBucketCol(col("host_hash")))
+              .write.mode("overwrite").partitionBy("host_bucket")
+              .parquet(TieredFrontier.addPath(warehouse, 0))
+          hostStateRows.coalesce(1).write.mode("overwrite")
+            .parquet(TieredFrontier.hostStatePath(warehouse, 0))
+          hostStateRows.unpersist()
+        }
         entries.select("url_hash", "url_hash2")
           .sortWithinPartitions(col("url_hash"))
           .write.mode("overwrite")
@@ -131,7 +151,7 @@ object CrawlLoop {
           headCount = seedCount - overflowCount,
           backlogPending = overflowCount,
           backlogPhysRows = overflowCount, baseRound = -1))
-        entries.unpersist(); ranked.unpersist(); hostStateRows.unpersist()
+        entries.unpersist(); rankedOpt.foreach(_.unpersist())
         1
     }
 

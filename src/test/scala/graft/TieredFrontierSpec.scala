@@ -84,6 +84,38 @@ class TieredFrontierSpec extends AnyFunSuite {
     assert(head.count() == m.headCount)
   }
 
+  test("seed snapshot splits head/backlog when seeds exceed one host's head capacity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 40 seeds on ONE host vs headCap = 8 × 2 = 16 ⇒ seed-time overflow
+    // (the small-seed fast path must NOT be taken); pages is EMPTY so
+    // every fetch misses and the loop drains the frontier 2/round,
+    // refilling the head from the seed backlog along the way
+    val seedUrls = (0 until 40).map(i => s"http://only.example.com/p/$i")
+    val emptyPages = Seq.empty[(Int, String, java.sql.Timestamp, Array[Byte], String)]
+      .toDF("host_bucket", "url", "warc_ts", "html", "text")
+    val whCfg = Crawl.CrawlConfig(YearMonth.of(2019, 1),
+      YearMonth.of(2019, 12), YearMonth.of(2019, 6), indexPageBudget = 1,
+      perHostBudget = 2, maxRounds = 40)
+    val w2 = TestSpark.tmpDir("tf-seedovfl")
+    val summary = CrawlLoop.run(spark, emptyPages, seedUrls, whCfg, w2,
+      expectedUrls = 1L << 16)
+    val m0 = Snapshots.readManifest(w2, 0).get
+    assert(m0.frontierCount == 40)
+    assert(m0.headCount == 16, s"headCount ${m0.headCount}")
+    assert(m0.backlogPending == 24, s"backlog ${m0.backlogPending}")
+    assert(Files.exists(Paths.get(TieredFrontier.addPath(w2, 0))))
+    // the whole seed set drains through head refills: every url misses
+    // exactly once, nothing is lost between the tiers
+    assert(summary.totalErrors == 40)
+    val missed = Snapshots.readLatestTable(spark, w2, "misses").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(missed == seedUrls.toSet)
+    val mLast = Snapshots.readManifest(w2,
+      Snapshots.latestCommittedRound(w2).get).get
+    assert(mLast.frontierCount == 0)
+  }
+
   test("backlog compaction preserves the pending set") {
     val spark = TestSpark.spark
     import spark.implicits._
