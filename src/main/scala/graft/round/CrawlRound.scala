@@ -50,14 +50,20 @@ object CrawlRound {
 
   /** Broadcast the selected slice into the fetch join only below this row
     * count (~30-70 MB as a JVM broadcast relation). Measured on the bench
-    * corpus (interleaved A/B, 2 reps, BASELINE.md): broadcasting 1.1-1.4M
-    * row slices LOST to the Bloom-prefiltered equi-join at both local[2]
-    * and local[8] (driver collect + relation build + rebroadcast per round
-    * dominate), while ≤100k-row slices win with broadcast. Above the gate
-    * (the 10^10 design point is 16/host × 10^7 hosts ≈ 1.6e8 selected rows
-    * — a guaranteed driver OOM if forced) the join is a plain equi-join
-    * with a [[fetchJoin selected-slice Bloom]] pushed into the pages scan,
-    * so the shuffle moves O(selected) pages, never the whole corpus. */
+    * corpus (interleaved A/B, 2 reps, BASELINE.md §gate calibration):
+    * broadcasting 1.1-1.4M row slices LOST to the Bloom-prefiltered
+    * equi-join at both levels, while ≤100k-row slices win with broadcast.
+    * The crossover is memory- and cluster-shape-dependent — the original
+    * A/B ran on executors silently capped at 1 GB heap (the local-cluster
+    * config bug found in r4), and a 16 GB re-check puts the crossover
+    * higher at 4 executors but LOWER at 1 (the lone executor pays
+    * relation build + GC on top of all the work) — so the conservative
+    * default stands and [[broadcastRowGate]] is the deploy-time knob.
+    * Above the gate (the 10^10 design point is 16/host × 10^7 hosts ≈
+    * 1.6e8 selected rows — a guaranteed driver OOM if forced) the join is
+    * a plain equi-join with a [[fetchJoin selected-slice Bloom]] pushed
+    * into the pages scan, so the shuffle moves O(selected) pages, never
+    * the whole corpus. */
   val BroadcastRowGate = 250000L
 
   /** Deploy-time tuning escape hatch for the gate (cluster memory and
