@@ -7,7 +7,9 @@ import graft.corpus.{CorpusWriter, SyntheticWeb, WebSpec}
 import graft.driver.CrawlLoop
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): prints ONE JSON line.
+/** Benchmark main (driver contract): prints a full detail JSON line
+  * (also written to GRAFT_BENCH_OUT / BENCH_DETAIL.json) followed by a
+  * compact contract line LAST, sized to fit a 2 KB stdout tail window.
   *
   * Headline metric (BASELINE.json): pages fetched+extracted/sec on the
   * synthetic Common-Crawl-style corpus, measured at two CLUSTER sizes on
