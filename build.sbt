@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout RAW: sbt's default logger
+// prefixes every forked-process line with "[info] ", which broke the
+// driver's machine-readable bench contract (BENCH_r04.json parsed=null —
+// the compact JSON line arrived as "[info] {...}" and failed json parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

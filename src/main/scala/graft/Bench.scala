@@ -92,6 +92,41 @@ object Bench {
       verifyText = false)
     val seeds = SyntheticWeb.seeds(spec, nForums)
 
+    // interleaved repeats, best-of per level: this VM's run-to-run spread
+    // on identical code is 15-20% (BASELINE.md §virtualization note), so a
+    // single pair can land anywhere; min-per-level converges to machine
+    // capability. Every raw run is reported in the JSON for transparency.
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "2,8,2,8")
+      .split(',').map(_.trim.toInt).toSeq
+    val n = order.min
+    val n4 = order.max
+
+    // Machine-health PRECHECK, before any expensive measurement (VERDICT
+    // r4 #1): the crawl legs are only interpretable when the VM's hour can
+    // scale pure ALU work — r4's run of record landed on an hour whose ALU
+    // control scaled at 0.671, so the recorded 0.664 raw efficiency
+    // measured the VM, not the engine. Re-sample the cheap cpu control
+    // (with a cool-down) until it clears the bar or the attempt budget
+    // runs out; every attempt is recorded in the JSON so a degraded-hour
+    // session is self-documenting instead of silently authoritative.
+    val preBar = sys.env.getOrElse("GRAFT_PRECHECK_BAR", "0.95").toDouble
+    val preTries = sys.env.getOrElse("GRAFT_PRECHECK_TRIES", "5").toInt
+    val preSleepSec = sys.env.getOrElse("GRAFT_PRECHECK_SLEEP", "90").toInt
+    val preAttempts = scala.collection.mutable.ArrayBuffer[Double]()
+    var preOk = n == n4 // single-level smoke runs have nothing to scale
+    while (!preOk && preAttempts.size < preTries) {
+      if (preAttempts.nonEmpty) Thread.sleep(preSleepSec * 1000L)
+      val e = try Controls.controlEff(n, n4, membw = false)
+        catch { case _: Throwable => -1.0 }
+      preAttempts += e
+      println(f"[bench] precheck ${preAttempts.size}/$preTries: " +
+        f"cpu_eff=$e%.3f (bar $preBar)")
+      preOk = e >= preBar
+    }
+    val precheckJson =
+      s"""{"bar":$preBar,"attempts":[${preAttempts.map(a => f"$a%.3f")
+        .mkString(",")}],"passed":$preOk}"""
+
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratchBase()), "graft-bench").toString
     val pagesPath = s"$work/pages"
@@ -144,6 +179,10 @@ object Bench {
           CrawlLoop.run(s, pages, seeds, cfg, s"$work/wh-$cores-$runIdx",
             expectedUrls = 1L << 24)
         }
+        // a throughput number over a maxRounds-capped (undrained) crawl
+        // would measure a different workload than the other legs
+        require(summary.pendingAfter == 0L,
+          s"crawl at $cores cores did not drain: pending=${summary.pendingAfter}")
         (summary.totalFetched, sec, summary.rounds)
       } finally {
         // ALWAYS stop: a leaked context would make the next leg's
@@ -157,12 +196,6 @@ object Bench {
       }
     }
 
-    // interleaved repeats, best-of per level: this VM's run-to-run spread
-    // on identical code is 15-20% (BASELINE.md §virtualization note), so a
-    // single pair can land anywhere; min-per-level converges to machine
-    // capability. Every raw run is reported in the JSON for transparency.
-    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "2,8,2,8")
-      .split(',').map(_.trim.toInt).toSeq
     // one failed leg (executor OOM, transient cluster hiccup) must not
     // lose the whole round's recorded JSON — skip it, keep the rest, as
     // long as each level retains at least one successful run
@@ -177,8 +210,6 @@ object Bench {
           None
       }
     }
-    val n = order.min
-    val n4 = order.max
     require(runs.exists(_._1 == n) && runs.exists(_._1 == n4),
       s"need at least one successful run per level, got: $runs")
     require(runs.map(_._2).distinct.size == 1 &&
@@ -238,15 +269,25 @@ object Bench {
         val s = ClusterHarness.clusterSession(nExecutors = n4 / 2,
           coresPerExecutor = 2, memMb = memMb, appName = "graft-bench-skew")
         try {
+          // a skewed corpus is politeness-BOUND: one hot host's queue sets
+          // the round count, so the uniform cfg's maxRounds=12 could cap
+          // the crawl mid-drain and silently understate the work (r4's
+          // recorded skew leg hit rounds == 12 exactly). Raise the cap for
+          // this leg and record pending_after/drained so the measurement
+          // PROVES the corpus drained.
+          val skCfg = cfg.copy(maxRounds = 64)
           CrawlLoop.run(s, CorpusWriter.read(s, s"$work/warm-pages"),
-            warmSeeds, cfg, s"$work/wh-warm-skew", expectedUrls = 1L << 20)
+            warmSeeds, skCfg, s"$work/wh-warm-skew", expectedUrls = 1L << 20)
           val (summary, sec) = timed {
             CrawlLoop.run(s, CorpusWriter.read(s, skPages),
-              SyntheticWeb.seeds(skSpec, skForums), cfg, s"$work/wh-skew",
+              SyntheticWeb.seeds(skSpec, skForums), skCfg, s"$work/wh-skew",
               expectedUrls = 1L << 24)
           }
           s"""{"forums":$skForums,"pages_total":$skPageCount,""" +
             s""""fetched":${summary.totalFetched},"rounds":${summary.rounds},""" +
+            s""""max_rounds":${skCfg.maxRounds},""" +
+            s""""pending_after":${summary.pendingAfter},""" +
+            s""""drained":${summary.pendingAfter == 0L},""" +
             s""""sec":${f"$sec%.1f"},""" +
             s""""pps":${f"${summary.totalFetched / sec}%.1f"},""" +
             s""""mode":"local-cluster[${n4 / 2}x2core-executors], hostSkew=true"}"""
@@ -303,6 +344,7 @@ object Bench {
         s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
         s""""wf_fit":{"w_sec":${f"$wFit%.1f"},"f_sec":${f"$fFit%.1f"}},""" +
         s""""control_cpu_eff":${f"$cpuEff%.3f"},""" +
+        s""""control_precheck":$precheckJson,""" +
         s""""control_membw_eff":${f"$membwEff%.3f"},""" +
         s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}}"""
     // Two JSON lines + one file. The FULL detail line first (and written

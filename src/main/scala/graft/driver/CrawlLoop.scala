@@ -20,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CrawlLoop {
 
+  /** `pendingAfter` > 0 means the loop exited on maxRounds (or a cancel
+    * marker) with work left — a capped run, not a drained crawl. Recorded
+    * so throughput measurements can prove the corpus actually drained. */
   final case class CrawlSummary(rounds: Int, totalFetched: Long,
                                 totalErrors: Long, totalDeduped: Long,
-                                seenCount: Long)
+                                seenCount: Long, pendingAfter: Long = 0L)
 
   val CancelMarker = "CANCEL"
 
@@ -164,7 +167,12 @@ object CrawlLoop {
       Snapshots.readManifest(warehouse, round - 1) match {
         case Some(m) => CrawlRound.FrontierState(m.frontierCount, m.headCount,
           m.backlogPending, m.backlogPhysRows, m.baseRound)
-        case None => CrawlRound.FrontierState(-1L, 0L, 0L, 0L, -1)
+        // headCount = -1: CrawlRound treats headCount >= 0 as a TRUSTED
+        // upper bound on the selected slice (broadcast gate + Bloom
+        // sizing); with no manifest there is no bound, so force the
+        // serial selectedP.count() fallback rather than a 0-bound that
+        // would ungate the broadcast on an arbitrarily large head
+        case None => CrawlRound.FrontierState(-1L, -1L, 0L, 0L, -1)
       }
 
     // the cumulative Bloom (shard array) lives in driver memory across
@@ -238,7 +246,8 @@ object CrawlLoop {
     val seenCount = (0 to lastRound)
       .flatMap(Snapshots.readManifest(warehouse, _))
       .map(_.seenDeltaCount).sum
-    CrawlSummary(lastRound, totalFetched, totalErrors, totalDeduped, seenCount)
+    CrawlSummary(lastRound, totalFetched, totalErrors, totalDeduped,
+      seenCount, pendingAfter = math.max(state.pending, 0L))
   }
 
   /** Final item tables (union of per-round deltas at the latest snapshot). */

@@ -48,7 +48,16 @@ object UrlExpressions {
     * point a single 64-bit key expects ~2.7 collisions (each one a novel
     * URL silently "confirmed seen" and never crawled); the 128-bit pair
     * pushes that to ~10^-19. Only `seen_delta` carries the extra column —
-    * the frontier schema is unchanged. */
+    * the frontier schema is unchanged.
+    *
+    * The ~10^-19 figure assumes the two hashes are independent, which
+    * holds for RANDOM/ORGANIC url bytes but not adversarial ones: XXH64's
+    * seed only perturbs the initial accumulators, and seed-independent
+    * collisions are known to be constructible. A crawl whose threat model
+    * includes attacker-crafted colliding URLs should derive url_hash2
+    * from a structurally different hash (e.g. SipHash with a secret key)
+    * — a one-line swap here; the non-adversarial assumption is the
+    * documented default. */
   val Hash2Seed: Long = 0x9E3779B97F4A7C15L
 
   case class UrlHash64B(child: Expression) extends UnaryExpression {
