@@ -177,6 +177,39 @@ class PlanSpec extends AnyFunSuite {
     assert(a == exact)
   }
 
+  test("burst confirm: anti join builds the matched set, never the suspect burst") {
+    // At burst scale (> SuspectBloomGate) the exact confirm is
+    //   suspects ANTI-JOIN matchedSeen   (matchedSeen = Bloom-collapsed seen)
+    // and the build side MUST be matchedSeen — O(matches), bounded by the
+    // true-duplicate count. A pathological size estimate that flipped the
+    // build to the suspect side would hash the FULL burst (millions of
+    // rows with url strings) into executor build tables. Lock the shape on
+    // the post-AQE executed plan at real > gate row counts.
+    val seenPath = TestSpark.tmpDir("burst-seen")
+    spark.range(300000).selectExpr("id * 3 as url_hash",
+      "xxhash64(id * 3) as url_hash2")
+      .write.mode("overwrite").parquet(seenPath)
+    val seen = spark.read.parquet(seenPath)
+    val susPath = TestSpark.tmpDir("burst-sus")
+    val nBurst = CrawlRound.SuspectBloomGate + 50000
+    spark.range(nBurst).selectExpr("id * 2 as url_hash",
+      "xxhash64(id * 2) as url_hash2", "concat('http://s', id) as url")
+      .write.mode("overwrite").parquet(susPath)
+    val suspects = spark.read.parquet(susPath)
+
+    val out = CrawlRound.confirmNew(seen, suspects, nSuspects = nBurst)
+    val n = out.count() // materialize so AQE finalizes the join strategy
+    assert(n > 0)
+    val plan = planOf(out)
+    // hash-join build side (when a hash join is chosen) is the matched
+    // set — BuildRight; never the burst side
+    assert(!plan.contains("BuildLeft"), plan.take(3000))
+    assert(plan.contains("LeftAnti, BuildRight"), plan.take(3000))
+    // and the raw seen table still never enters an exchange: the only
+    // allowed exchanges move suspects (O(delta)) or matchedSeen (O(matches))
+    assert(plan.contains("graft_bloom_might_contain"), plan.take(3000))
+  }
+
   test("seen confirm survives a forced 64-bit url_hash collision (pair key)") {
     import spark.implicits._
     import graft.round.CrawlRound
