@@ -116,6 +116,41 @@ def main(sf_dir, out_dir):
             n = pq.read_table(str(pdir)).num_rows
             (ok if n > 0 else bad).append(
                 pdir.name + f" [rows-only n={n}]" if n > 0 else (pdir.name, "EMPTY rows-only result"))
+
+    # First-principles recompute of the two arithmetic golden pins
+    # (VERDICT r4 #7): their VALUES oracles were generated from the
+    # engine's own output, so the normal compare above is circular for
+    # them. Recompute the expected rows directly from documents.parquet
+    # with an independent pure-Python implementation (xxh64 from the
+    # public spec + the documented scoring rules) and require the PIN to
+    # match the recompute.
+    import golden_recompute as gr
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    recomputed = {
+        "q_sentiment_buckets": pd.DataFrame(
+            gr.sentiment_buckets(docs["text"]),
+            columns=["label", "cnt", "score_milli_sum"]),
+        "q_text_fingerprint": pd.DataFrame(
+            gr.fingerprints(zip(docs["doc_id"], docs["text"])),
+            columns=["doc_id", "fp"]),
+    }
+    for name, rec in recomputed.items():
+        if name not in oracle:
+            bad.append((name + " [recompute]", "query missing from oracle_sql.json"))
+            continue
+        try:
+            pin = canon(con.execute(oracle[name]).arrow().to_pandas())
+            rec = canon(rec)
+            if (pin.astype(str).reset_index(drop=True)
+                    .equals(rec.astype(str).reset_index(drop=True))):
+                ok.append(name + " [independent recompute == pin]")
+            else:
+                bad.append((name + " [recompute]",
+                            f"pin != first-principles recompute:\n"
+                            f"pin:\n{pin}\nrecompute:\n{rec}"))
+        except Exception as e:
+            bad.append((name + " [recompute]", f"error: {e}"))
     print(f"== OK ({len(ok)}):")
     for n in ok:
         print("  ", n)
