@@ -9,16 +9,14 @@ import org.apache.spark.sql.functions._
   * batches (the Scala analog of `mapInPandas`: one iterator of rows per
   * partition, batch-shaped work inside).
   *
-  * Images are REAL: payloads are PNGs and [[ImageCodec]] decodes them with
-  * the JDK's `javax.imageio` (width/height/mean-luma from actual pixels).
-  * Audio is REAL too: payloads are PCM-16 WAV files and [[WavCodec]]
-  * decodes them with the JDK's `javax.sound.sampled` (frame count and
-  * mean absolute amplitude from actual samples). Only VIDEO remains
-  * stubbed — this container ships no video libraries — behind
-  * [[FakeCodec]], a deterministic fake whose outputs are pure functions
-  * of the input bytes. The Spark-side contract (schema, batch iteration,
-  * partitioning) is identical for all three, so swapping FakeCodec for a
-  * JNI/javacv decoder changes no plan shape.
+  * All three kinds decode for REAL with zero non-JDK dependencies:
+  * images are PNGs decoded via `javax.imageio` ([[ImageCodec]]); audio is
+  * PCM-16 WAV decoded via `javax.sound.sampled` ([[WavCodec]]); video is
+  * a GVID container — length-prefixed PNG frames, an intra-only MJPEG
+  * analog — whose every frame decodes through the same ImageIO path
+  * ([[VideoCodec]]). The Spark-side contract (schema, batch iteration,
+  * partitioning) is identical for all three, so swapping GVID for an
+  * inter-coded format (H.264 via JNI/javacv) changes no plan shape.
   */
 object Multimodal {
 
@@ -135,26 +133,69 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for the (absent) VIDEO decoder: every
-    * "feature" is a hash-derived pure function of the bytes. Images and
-    * audio use the real codecs above since r3/r4. */
-  object FakeCodec {
-    def decodeFrames(payload: Array[Byte], kind: String): Int = {
-      val h = XxHash64.hash(payload)
-      kind match {
-        case "video" => 1 + (((h >>> 7) % 120).toInt)
-        case _       => 0
-      }
+  /** 64-bit content hash over the raw payload bytes — the per-row
+    * dedupe/lineage key carried alongside the decoded features. */
+  def contentHash(payload: Array[Byte]): Long = XxHash64.hash(payload, 11L)
+
+  /** Real video codec with zero new dependencies: the container is
+    * length-prefixed PNG frames (magic `GVID`, LE header, then one
+    * `int length + PNG bytes` record per frame), and every frame decodes
+    * through the REAL [[ImageCodec]] (javax.imageio). This is an honest
+    * miniature of an intra-only video format (each frame self-contained,
+    * like MJPEG with PNG frames): frame count and mean luma come from
+    * actually-decoded pixels, so the plumbing above it — schema, batch
+    * iteration, per-partition codec reuse — is exercised against a real
+    * decode loop, not a hash of the bytes. Swapping in an inter-coded
+    * format (H.264 via JNI/javacv) changes only this object. */
+  object VideoCodec {
+    private val Magic = 0x44495647 // "GVID" little-endian
+
+    /** Deterministic video: `nFrames` hash-seeded PNG frames of w×h. */
+    def encodeVideo(width: Int, height: Int, nFrames: Int,
+                    seed: Long): Array[Byte] = {
+      val frames = Array.tabulate(nFrames)(f =>
+        ImageCodec.encodePng(width, height, seed * 131L + f))
+      val buf = java.nio.ByteBuffer
+        .allocate(16 + frames.map(_.length + 4).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic).putInt(nFrames).putInt(width).putInt(height)
+      frames.foreach(fr => buf.putInt(fr.length).put(fr))
+      buf.array()
     }
-    def meanLuma(payload: Array[Byte]): Double =
-      (((XxHash64.hash(payload, 5L) >>> 9) % 256).toDouble) / 255.0
-    def featureHash(payload: Array[Byte]): Long = XxHash64.hash(payload, 11L)
+
+    /** (frameCount, meanLuma∈[0,1] across ALL decoded frames' pixels).
+      * Throws on a corrupt container or undecodable frame — corrupt-
+      * payload policy belongs to the caller, same as the other codecs. */
+    def decode(payload: Array[Byte]): (Int, Double) = {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(buf.remaining >= 16 && buf.getInt() == Magic,
+        "not a GVID container")
+      val nFrames = buf.getInt()
+      val w = buf.getInt()
+      val h = buf.getInt()
+      require(nFrames > 0 && w > 0 && h > 0, "corrupt GVID header")
+      var lumaSum = 0.0
+      var f = 0
+      while (f < nFrames) {
+        val len = buf.getInt()
+        require(len > 0 && len <= buf.remaining, "corrupt GVID frame length")
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        val (fw, fh, luma) = ImageCodec.decode(frame)
+        require(fw == w && fh == h, s"frame $f is ${fw}x$fh, header says ${w}x$h")
+        lumaSum += luma
+        f += 1
+      }
+      (nFrames, lumaSum / nFrames)
+    }
   }
 
   /** Synthetic media table. Image rows carry REAL (tiny) PNG payloads with
     * hash-derived dimensions and pixels; audio rows carry REAL PCM-16 WAV
-    * payloads with hash-derived frame counts and samples; video payloads
-    * are opaque hash-derived bytes for the fake codec path. */
+    * payloads with hash-derived frame counts and samples; video rows carry
+    * REAL GVID containers (length-prefixed PNG frames) with hash-derived
+    * dimensions and frame counts. */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -171,23 +212,21 @@ object Multimodal {
           MediaRow(i, kind, WavCodec.encodeWav(frames, i),
             width = WavCodec.SampleRate, height = 1)
         case _ =>
-          val len = 64 + ((XxHash64.hashLong(i) >>> 5) % 192).toInt
-          val payload = Array.tabulate(len)(j =>
-            (XxHash64.hashLong(i * 1000 + j) & 0xff).toByte)
-          MediaRow(i, kind, payload,
-            width = 16 * (1 + ((XxHash64.hashLong(i, 2L) >>> 4) % 64).toInt),
-            height = 16 * (1 + ((XxHash64.hashLong(i, 3L) >>> 4) % 64).toInt))
+          val w = 4 + ((XxHash64.hashLong(i, 2L) >>> 4) % 5).toInt
+          val h = 4 + ((XxHash64.hashLong(i, 3L) >>> 4) % 5).toInt
+          val frames = 8 + ((XxHash64.hashLong(i) >>> 5) % 56).toInt
+          MediaRow(i, kind, VideoCodec.encodeVideo(w, h, frames, i), w, h)
       }
     }
   }
 
   /** Per-partition batched feature extraction — the mapInPandas-shaped
     * pass: one partition = one batch stream, no per-row task overhead,
-    * codec state initialized once per partition. Image rows go through
-    * the real ImageIO decode, audio rows through the real
-    * javax.sound.sampled decode (mean_luma carries the mean absolute
-    * amplitude — same normalized-[0,1] slot); only video rows use the
-    * documented fake. */
+    * codec state initialized once per partition. All three kinds now go
+    * through REAL decoders: images via javax.imageio, audio via
+    * javax.sound.sampled (mean_luma carries the mean absolute amplitude —
+    * same normalized-[0,1] slot), video via the GVID container whose
+    * frames decode through the same ImageIO path. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -196,16 +235,15 @@ object Multimodal {
           case "image" =>
             val (_, _, luma) = ImageCodec.decode(r.payload)
             MediaFeatures(r.media_id, r.kind,
-              FakeCodec.featureHash(r.payload), n_frames = 1, mean_luma = luma)
+              contentHash(r.payload), n_frames = 1, mean_luma = luma)
           case "audio" =>
             val (frames, amp) = WavCodec.decode(r.payload)
             MediaFeatures(r.media_id, r.kind,
-              FakeCodec.featureHash(r.payload), frames, amp)
+              contentHash(r.payload), frames, amp)
           case _ =>
+            val (frames, luma) = VideoCodec.decode(r.payload)
             MediaFeatures(r.media_id, r.kind,
-              FakeCodec.featureHash(r.payload),
-              FakeCodec.decodeFrames(r.payload, r.kind),
-              FakeCodec.meanLuma(r.payload))
+              contentHash(r.payload), frames, luma)
         }
       }
     }
