@@ -79,14 +79,23 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Tuned defaults from the recorded AnnBench sweep (see `graft.AnnBench`
+    * and BASELINE.md §ann): the knee point giving recall@10 ≥ 0.9 on the
+    * sf0.1 embeddings at the lowest candidate fraction (measured 0.916
+    * recall at 1.18× brute's scored pairs — that corpus is near-isotropic,
+    * sign-LSH's worst case; on the clustered corpus the same operator
+    * reaches ≥0.95 recall at ~5% of brute cost with planes=8/tables=12). */
+  val DefaultPlanes = 4
+  val DefaultTables = 18
+
   /** LSH-bucketed ANN top-k via L independent sign-LSH tables (the
     * standard recall amplifier: P(candidate) = 1-(1-p^planes)^tables).
     * Cosine is evaluated only on in-bucket candidates; the corpus is
     * exploded L× on a long bucket key — at scale this is the IVF-style
     * tradeoff: L× storage/shuffle for recall, never O(n²) pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, numPlanes: Int = 4,
-              numTables: Int = 8): DataFrame = {
+              idCol: String, k: Int, numPlanes: Int = DefaultPlanes,
+              numTables: Int = DefaultTables): DataFrame = {
     val bucketsUdf = udf((v: Seq[Float]) =>
       tableBuckets(v.toArray, numPlanes, numTables))
     val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
@@ -104,5 +113,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Number of candidate pairs the bucket join admits (pre-dedup) — the
+    * cosine-evaluation cost [[lshTopK]] actually pays, for recall/cost
+    * evidence (graft.AnnBench). Same join shape as lshTopK. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, numPlanes: Int, numTables: Int): Long = {
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      tableBuckets(v.toArray, numPlanes, numTables))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", explode(bucketsUdf(col("cv")))).drop("cv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(bucketsUdf(col("qv")))).drop("qv")
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .count()
   }
 }
