@@ -162,6 +162,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Distinct candidate-pair count the band join admits (pre-verification)
+    * — the structural cost [[minHashLsh]] pays for Jaccard evaluation, for
+    * scaling evidence (graft.DedupBench). Same band-join shape as
+    * minHashLsh; near-linear growth in the corpus is the claim under test
+    * (quadratic growth here would mean the bands stopped discriminating). */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 16, bands: Int = 4): Long = {
+    val rows = numHashes / bands
+    val sigUdf = minHashUdf(numHashes)
+    val bandUdf = udf((sig: Seq[Long], b: Int) => bandHash(sig.toArray, b, rows))
+    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", sigUdf(col("text")))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .withColumn("bh", bandUdf(col("sig"), col("band")))
+      .select(col("id"), col("band"), col("bh"))
+    banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .count()
+  }
+
   val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => simHash(t))
 
