@@ -71,15 +71,58 @@ class OpsSpec extends AnyFunSuite {
     val queries = emb.filter($"vec_id" < 8)
     val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5,
-      numPlanes = 4, numTables = 8).collect()
+    val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.size == 40) // 8 queries × k=5, deterministic
     val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall=$recall") // 8 tables × 4 planes, 64-dim
+    // tuned defaults (AnnBench sweep knee): 0.916 measured at sf0.1; this
+    // corpus is near-isotropic — sign-LSH's WORST case — so the floor
+    // keeps head-room for the smaller sample (40 pairs) here
+    assert(recall >= 0.8, s"recall=$recall")
     // cosine kernel sanity
     assert(math.abs(Similarity.cosine(Array(1f, 0f), Array(1f, 0f)) - 1.0) < 1e-12)
     assert(math.abs(Similarity.cosine(Array(1f, 0f), Array(0f, 1f))) < 1e-12)
+  }
+
+  test("DedupBench synthetic corpus: deterministic, near-dups above threshold") {
+    // doc synthesis must be pure (reruns bit-identical) and the planted
+    // near-dups (id % 10 == 1) must clear minHashLsh's 0.8 verification
+    // threshold, or the scaling bench would measure an empty result
+    assert(DedupBench.docText(42L) == DedupBench.docText(42L))
+    assert(DedupBench.docText(0L) != DedupBench.docText(2L))
+    val js = (1L to 191L by 10).map { id =>
+      Dedup.jaccard(
+        Dedup.shingles(DedupBench.docText(id - 1), 3).toSet,
+        Dedup.shingles(DedupBench.docText(id), 3).toSet)
+    }
+    // the 1/50 substitution rate puts pairs at J ≈ (98-3s)/(98+3s) for s
+    // substitutions: all are near-dups, the large majority clear the 0.8
+    // LSH verification threshold (a constant fraction lands just under —
+    // they stay near-dups but not confirmed pairs; linear scaling of
+    // confirmed_pairs is unaffected), and most are not exact copies
+    js.foreach(j => assert(j >= 0.7, s"planted near-dup too far: $j"))
+    assert(js.count(_ >= 0.8) >= js.size * 8 / 10, s"threshold clears: $js")
+    assert(js.count(_ < 1.0) >= js.size / 2, s"too many exact copies: $js")
+  }
+
+  test("ANN: LSH recall >= 0.9 on a corpus with real neighbor structure") {
+    import spark.implicits._
+    // 500 clusters × 11 members at sibling cosine ~0.90 (AnnBench's
+    // clustered regime, small): a query's true top-10 are its siblings,
+    // and bucketed search must find >= 90% of them at ~5% of brute cost
+    val m = 11
+    val vecUdf = udf((id: Long) => AnnBench.clusteredVec(id / m, (id % m).toInt, 64))
+    val emb = spark.range(m * 500L)
+      .select($"id".as("vec_id"), vecUdf($"id").as("embedding"))
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 10,
+      numPlanes = 8, numTables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
   }
 
   test("embedding near-dup finds planted identical vectors") {
