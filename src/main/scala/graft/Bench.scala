@@ -327,6 +327,16 @@ object Bench {
         }
         name -> sec
     }
+
+    // ANN recall/cost evidence: recall@10 vs brute at the tuned default
+    // (planes, tables) on the real sf embeddings + the clustered-regime
+    // corpus where bucketing is sublinear (see AnnBench)
+    val annJson = guarded("ann")(AnnBench.json(sQ, sfDir))
+
+    // dedup-family scaling evidence: minHashLsh + decontaminate at a 1×
+    // and a 10× synthetic corpus — wall time, candidate pairs, shuffle
+    // bytes — vs the labeled quadratic baseline's blowup (see DedupBench)
+    val ddJson = guarded("dedup_scaling")(DedupBench.json(sQ))
     sQ.stop()
 
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
@@ -360,6 +370,8 @@ object Bench {
         s""""frontier_scaling":$fbJson,""" +
         s""""seen_scaling":$sbJson,""" +
         s""""sharded_seen":$shJson,""" +
+        s""""ann":$annJson,""" +
+        s""""dedup_scaling":$ddJson,""" +
         s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}"""
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(

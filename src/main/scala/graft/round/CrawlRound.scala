@@ -289,12 +289,9 @@ object CrawlRound {
     // the Bloom oversize is capped by HeadFactor. The serial count
     // survives only when no manifest bound exists (headCount < 0).
     val headBound = state.headCount
-    val (gateCount, selectedCountF) =
-      if (headBound >= 0) (headBound, Future(selectedP.count()))
-      else {
-        val c = selectedP.count()
-        (c, Future.successful(c))
-      }
+    val gateCount =
+      if (headBound >= 0) headBound
+      else selectedP.count() // no-manifest fallback: serial exact count
 
     // adaptive static bucket pruning: one tiny pre-job when the frontier is
     // small (sparse buckets likely); full scan + join otherwise
@@ -309,15 +306,23 @@ object CrawlRound {
     lap("rank")
 
     // ---- fetch: pages ⋈ selected, size-gated broadcast ------------------
-    // above-gate rounds build a selected-slice Bloom (one small agg over
-    // the cached slice) to push into the pages scan — see fetchJoin
+    // Above-gate rounds need a selected-slice Bloom BEFORE the fetch job;
+    // the exact selected count is also wanted (error/pending bookkeeping,
+    // consumed after the fetch write). r4 ran these as two RACING jobs
+    // over the not-yet-materialized cached slice (the concurrent count
+    // future and the serial Bloom agg each computed window partitions) —
+    // one combined agg now returns (count, bloom) in a single pass, sized
+    // by the manifest bound that is known before the pass starts. Below
+    // the gate the count stays a concurrent job, off the critical path.
     graft.expressions.UrlExpressions.register(spark)
-    val selectedBloom =
+    val (selectedBloom, selectedCountF) =
       if (gateCount > broadcastRowGate) {
         val agg = BloomSeen.bloomBuildUdaf(math.max(gateCount, 1L << 16))
-        val row = selectedP.agg(agg(col("url_hash")).as("b")).collect()(0)
-        if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
-      } else None
+        val row = selectedP.agg(count(lit(1)).as("c"),
+          agg(col("url_hash")).as("b")).collect()(0)
+        (if (row.isNullAt(1)) None else Some(row.getAs[Array[Byte]](1)),
+          Future.successful(row.getLong(0)))
+      } else (None, Future(selectedP.count()))
     val hits = fetchJoin(pagesPruned,
       selectedP.select("host_bucket", "url", "url_hash", "host",
         "host_hash", "depth", "priority"),
@@ -479,15 +484,31 @@ object CrawlRound {
     val merged = remaining.select(feColsC: _*)
       .unionByName(newBetter.select(feColsC: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // OPTIMISTIC head write (critical-path job #2): in a no-overflow round
+    // — the invariant case for a uniform corpus, since headCap is 8× the
+    // politeness budget — merged IS the next head. Write it immediately,
+    // pipelined straight out of the confirm/union plan; the overflow
+    // probe below runs AFTER the write, over the cache the write just
+    // populated, instead of as a barrier between frontier expansion and
+    // the head write (measured ~6-7 s/round of non-scaling serial time at
+    // cluster job latencies — the largest single F item in the r5 phase
+    // profile). Rounds that DO overflow (bursts, skewed corpora) detect
+    // it post-write and rewrite the head before the commit below — one
+    // wasted bounded parquet job, paid only in rounds that already pay
+    // the per-host window rank. Crash-safety is unchanged: the manifest
+    // write is the commit marker, so a half-reconciled head dir in an
+    // uncommitted round is invisible to resume.
+    merged.write.mode("overwrite").parquet(path("head"))
+    lap("head-write")
+
     // Overflow probe: a map-side-combined per-host count (≤ one row per
     // active host) instead of an unconditional row_number over the whole
     // merged set — the common round has NO host over headCap, so merged
     // passes straight through and the O(n log n) per-host sort is skipped;
     // only over-cap hosts' rows (burst rounds) pay the window. The counts
     // are CACHED: the no-overflow round reuses them as the refill counts
-    // (kept ≡ merged there), saving a second head-size aggregation — at
-    // cluster job latencies every serial head-size job per round is
-    // measurable F.
+    // (kept ≡ merged there), saving a second head-size aggregation.
     val mergedCounts = merged.groupBy(col("host_hash"))
       .agg(count(lit(1)).as("n")).persist(StorageLevel.MEMORY_AND_DISK)
     val overHosts = mergedCounts.filter(col("n") > headCap)
@@ -545,15 +566,16 @@ object CrawlRound {
       if (refillBuckets.isEmpty) None
       else TieredFrontier.readBacklogPending(spark, warehouse,
         state.baseRound, round - 1, Some(refillBuckets))
-    // (headOut, promotedFromBacklog, promotedFromNew, nextMins, rmCountF)
+    // (picks, promotedFromBacklog, promotedFromNew, nextMins, rmCountF)
     // rmCount is bookkeeping-only (pending arithmetic at the end), so it
-    // runs as a concurrent job, never a barrier before the head write
+    // runs as a concurrent job, never a barrier before the head reconcile
     var prankedP: Option[DataFrame] = None
-    val (headOut, rmRows, promotedNewRows, nextMins, rmCountF) =
+    val (picksOpt, rmRows, promotedNewRows, nextMins, rmCountF) =
       backlogOpt match {
         case None =>
-          (kept, None: Option[DataFrame], None: Option[DataFrame],
-            None: Option[DataFrame], Future.successful(0L))
+          (None: Option[DataFrame], None: Option[DataFrame],
+            None: Option[DataFrame], None: Option[DataFrame],
+            Future.successful(0L))
         case Some(backlog) =>
           // map-side partial top-k: only the best rows per (input
           // partition, host) reach the exact window — the refill shuffle
@@ -578,16 +600,27 @@ object CrawlRound {
           val rm = picks.filter(col("from_backlog"))
             .select("url_hash", "host_hash")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          (kept.unionByName(picks.select(feColsC: _*)),
+          (Some(picks),
             Some(rm),
             Some(picks.filter(!col("from_backlog"))
               .select("url_hash", "host_hash")),
             Some(nextMin), Future(rm.count()))
       }
 
-    // critical-path job #2: the new head (small — O(hosts × headCap))
-    headOut.write.mode("overwrite").parquet(path("head"))
-    lap("head-write")
+    // Reconcile the optimistic head write. Three cases:
+    //  - no overflow, no refill (the common round): merged already IS the
+    //    head on disk — nothing to do;
+    //  - no overflow + refill picks: the promoted rows APPEND to the head
+    //    dir (kept ≡ merged is already there);
+    //  - overflow: rewrite the head as kept ∪ picks (the one wasted
+    //    optimistic write — bounded, burst-rounds-only).
+    if (!noOverflow) {
+      picksOpt.map(p => kept.unionByName(p.select(feColsC: _*)))
+        .getOrElse(kept)
+        .write.mode("overwrite").parquet(path("head"))
+    } else picksOpt.foreach(
+      _.select(feColsC: _*).write.mode("append").parquet(path("head")))
+    lap("head-reconcile")
 
     // backlog additions: head overflow + new entries that rank behind the
     // backlog minimum, MINUS any promoted during refill
