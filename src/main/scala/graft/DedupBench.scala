@@ -110,7 +110,7 @@ object DedupBench {
     s"""{"docs":${p.nDocs},"minhash_sec":${f"${p.minhashSec}%.1f"},""" +
       s""""candidate_pairs":${p.candidatePairs},""" +
       s""""confirmed_pairs":${p.confirmedPairs},""" +
-      s""""shuffle_mb":${f"${p.shuffleMb}%.1f"},""" +
+      s""""measured_exchange_kb":${f"${p.shuffleMb * 1000}%.1f"},""" +
       s""""decon_sec":${f"${p.deconSec}%.1f"},""" +
       s""""contaminated":${p.contaminated}}"""
 
@@ -130,11 +130,18 @@ object DedupBench {
     val b3 = bruteSec(6000L)
     def ratio(f: Point => Double): String =
       f"${f(big) / f(small)}%.2f"
+    // measured exchange bytes are near-zero AT THIS SCALE and therefore
+    // not the growth metric: AQE broadcasts the band join's build side
+    // (sub-threshold) and only sub-MB agg exchanges remain. The metric
+    // that carries the 100 TB claim is candidate_pairs — the rows the
+    // band join admits for Jaccard evaluation — plus the band exchange's
+    // arithmetic width at cluster scale: 24 B × docs × bands, linear by
+    // construction (ids only, never shingles).
     s"""{"lsh":[${pointJson(small)},${pointJson(big)}],""" +
       s""""lsh_ratios_10x":{"minhash_sec":${ratio(_.minhashSec)},""" +
       s""""candidate_pairs":${ratio(_.candidatePairs.toDouble)},""" +
-      s""""shuffle_mb":${ratio(_.shuffleMb)},""" +
       s""""decon_sec":${ratio(_.deconSec)}},""" +
+      s""""exchange_note":"band join broadcasts at this scale (sub-threshold build side); structural cost = candidate_pairs, band exchange at cluster scale = 24B x docs x bands (ids only)",""" +
       s""""quadratic_baseline":{"docs":[2000,6000],""" +
       s""""scored_pairs":[${2000L * 1999 / 2},${6000L * 5999 / 2}],""" +
       s""""sec":[${f"$b1%.1f"},${f"$b3%.1f"}],""" +
