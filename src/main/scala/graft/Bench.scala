@@ -110,7 +110,10 @@ object Bench {
     // runs out; every attempt is recorded in the JSON so a degraded-hour
     // session is self-documenting instead of silently authoritative.
     val preBar = sys.env.getOrElse("GRAFT_PRECHECK_BAR", "0.95").toDouble
-    val preTries = sys.env.getOrElse("GRAFT_PRECHECK_TRIES", "5").toInt
+    // 8 × 90 s ≈ 14 min of max patience: r5 measured whole afternoons
+    // failing 5/5 at 0.66-0.91 while a 25-min wait caught a 0.983 hour;
+    // a larger default would risk the driver's bench window instead
+    val preTries = sys.env.getOrElse("GRAFT_PRECHECK_TRIES", "8").toInt
     val preSleepSec = sys.env.getOrElse("GRAFT_PRECHECK_SLEEP", "90").toInt
     val preAttempts = scala.collection.mutable.ArrayBuffer[Double]()
     var preOk = n == n4 // single-level smoke runs have nothing to scale
