@@ -659,6 +659,29 @@ object Queries {
          |${shinglesSql("docs2")}
          |${jaccardPairsSql(0.5)}""".stripMargin)),
 
+    // duplicate-cluster closure over the confirmed near-dup pairs: every
+    // doc in any pair labeled with its connected component's min id (the
+    // surviving representative). Engine: iterative min-label propagation
+    // (ids-only shuffles); oracle: DuckDB recursive CTE computing the
+    // same transitive closure over the same exact-Jaccard pair graph.
+    "q_dedup_clusters" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.dupClusters(
+          Dedup.minHashLsh(docsWithNearDups(s, dir), "text", "doc_id",
+            numHashes = 16, bands = 8, threshold = 0.5)
+            .select(col("id_a"), col("id_b"))),
+      s"""WITH RECURSIVE $DocsNearDupSql,
+         |${shinglesSql("docs2")},
+         |pairs AS (${jaccardPairsSql(0.5)}),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |walk(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u)
+         |SELECT u AS doc_id, MIN(lbl) AS cluster_id
+         |FROM walk GROUP BY u""".stripMargin)),
+
     // embedding-cosine near-dup via hyperplane LSH buckets; ids only in
     // the output (cosine VALUES differ in ulps between engines). Oracle =
     // exact all-pairs cosine join.

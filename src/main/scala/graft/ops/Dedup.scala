@@ -186,6 +186,69 @@ object Dedup {
       .count()
   }
 
+  /** Duplicate CLUSTERS over confirmed near-dup pairs (e.g. the output of
+    * [[minHashLsh]] or [[simHashPairs]]): every doc appearing in any pair
+    * is labeled with its connected component's MINIMUM doc id — the
+    * canonical representative a dedup pipeline keeps. Pairs only assert
+    * "a duplicates b"; keeping one doc per *pair* over-deletes chains
+    * (a~b, b~c keeps a and c without this step), so cluster closure is the
+    * step that turns pair evidence into a survivors set.
+    *
+    * Spark-native min-label propagation (no RDDs, no graph library):
+    * labels start as each node's own id; each iteration sends every
+    * node's current label across its edges and keeps the per-node minimum.
+    * Shuffles carry ONLY (id, label) longs — 16 bytes/row — so at corpus
+    * scale an iteration costs O(E) long-pairs through one groupBy, and
+    * the iteration count is the component DIAMETER (near-dup clusters are
+    * cliques/short chains in practice; a 100 TB corpus's duplicate
+    * clusters converge in a handful of rounds). Labels decrease
+    * monotonically, so the sum of labels is a strictly-decreasing
+    * convergence witness — one cheap agg per iteration, no row-diff join.
+    *
+    * Returns (doc_id, cluster_id); `cluster_id == doc_id` marks the
+    * cluster's surviving representative. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxIters: Int = 32): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .persist()
+    // localCheckpoint (not persist): the iteration references `labels`
+    // twice, so without a LINEAGE cut the logical plan doubles per round
+    // — exponential planning cost long before the data is big. The
+    // checkpoint materializes each round's (id, label) pairs and restarts
+    // the plan from them. (localCheckpoint is executor-local and not
+    // fault-tolerant; a production 100 TB run with hour-long rounds would
+    // set a reliable checkpoint dir and use checkpoint() — same shape.)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    // decimal(38,0) sum: the witness must not wrap at 10^10-scale ids
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
+    var lastSum = labelSum(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      labels = next
+      val s = labelSum(next)
+      // labels only decrease pointwise: equal sum = fixpoint
+      converged = s.compareTo(lastSum) == 0
+      lastSum = s
+      iters += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"dupClusters did not converge in $maxIters iterations " +
+        "(component diameter exceeds the bound — raise maxIters)")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => simHash(t))
 

@@ -37,6 +37,40 @@ class OpsSpec extends AnyFunSuite {
     assert(res.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("dupClusters: pair graph closes to min-id components, incl. chains") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3 → multiple propagation iterations),
+    // clique 10-11, 11-12, 10-12, isolated pair 20-21; unordered pair input
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // long chain: diameter 9 still converges, one component
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.dupClusters(chain).collect()
+    assert(chained.length == 10 && chained.forall(_.getLong(1) == 0L))
+    // empty pair set → empty clustering, no error
+    assert(Dedup.dupClusters(pairs.limit(0)).count() == 0)
+    // composes with minHashLsh: every planted near-dup doc lands in its
+    // source doc's cluster (the representative survives, the copy doesn't)
+    val base = docs.select($"doc_id", $"text")
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val cl = Dedup.dupClusters(
+      Dedup.minHashLsh(base.unionByName(near), "text", "doc_id",
+        numHashes = 16, bands = 8, threshold = 0.5)
+        .select($"id_a", $"id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantedCopies = cl.keys.filter(_ >= 100000L)
+    assert(plantedCopies.nonEmpty &&
+      plantedCopies.forall(c => cl(c) == cl(c - 100000L)),
+      "every planted copy must share its source's cluster id")
+  }
+
   test("simhash pairs within hamming ≤ 3 — planted dups found, verified") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
