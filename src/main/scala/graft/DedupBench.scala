@@ -83,7 +83,8 @@ object DedupBench {
 
   final case class Point(nDocs: Long, minhashSec: Double, candidatePairs: Long,
                          confirmedPairs: Long, shuffleMb: Double,
-                         deconSec: Double, contaminated: Long)
+                         deconSec: Double, contaminated: Long,
+                         clustersSec: Double, dupClusters: Long)
 
   def measure(s: SparkSession, n: Long): Point = {
     val d = docs(s, n)
@@ -95,15 +96,27 @@ object DedupBench {
     // re-run end-to-end for the wall number with the candidate pass warm
     // (the instrumented pass above pays the double work of counting
     // candidates separately; the timed pass is the operator as shipped)
-    val confirmed2 = Dedup.minHashLsh(d, "text", "doc_id").count()
+    val pairs = Dedup.minHashLsh(d, "text", "doc_id")
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val confirmed2 = pairs.count()
     val minhashSec = (System.nanoTime() - t0) / 1e9
     require(confirmed2 == confirmed, s"nondeterministic minhash: $confirmed2 != $confirmed")
+    // cluster closure over the confirmed pairs: planted dups are
+    // (id-1, id) pairs, so components stay bounded and the propagation
+    // converges in ~2 iterations — the per-iteration cost (ids-only
+    // shuffle over O(pairs)) is what the growth curve tests
+    val t2 = System.nanoTime()
+    val reps = Dedup.dupClusters(pairs)
+      .filter(col("cluster_id") === col("doc_id")).count()
+    val clustersSec = (System.nanoTime() - t2) / 1e9
+    pairs.unpersist()
     val t1 = System.nanoTime()
     val contaminated = Dedup.decontaminate(
       d, "text", "doc_id", benchSet(s), "text").count()
     val deconSec = (System.nanoTime() - t1) / 1e9
     Point(n, minhashSec, candidates, confirmed, shuffleBytes / 1e6,
-      deconSec, contaminated)
+      deconSec, contaminated, clustersSec, reps)
   }
 
   private def pointJson(p: Point): String =
@@ -112,7 +125,9 @@ object DedupBench {
       s""""confirmed_pairs":${p.confirmedPairs},""" +
       s""""measured_exchange_kb":${f"${p.shuffleMb * 1000}%.1f"},""" +
       s""""decon_sec":${f"${p.deconSec}%.1f"},""" +
-      s""""contaminated":${p.contaminated}}"""
+      s""""contaminated":${p.contaminated},""" +
+      s""""clusters_sec":${f"${p.clustersSec}%.1f"},""" +
+      s""""dup_cluster_reps":${p.dupClusters}}"""
 
   /** One JSON block for the bench detail line. Runs inside the caller's
     * session (local[32] query session). */
@@ -140,7 +155,8 @@ object DedupBench {
     s"""{"lsh":[${pointJson(small)},${pointJson(big)}],""" +
       s""""lsh_ratios_10x":{"minhash_sec":${ratio(_.minhashSec)},""" +
       s""""candidate_pairs":${ratio(_.candidatePairs.toDouble)},""" +
-      s""""decon_sec":${ratio(_.deconSec)}},""" +
+      s""""decon_sec":${ratio(_.deconSec)},""" +
+      s""""clusters_sec":${ratio(_.clustersSec)}},""" +
       s""""exchange_note":"band join broadcasts at this scale (sub-threshold build side); structural cost = candidate_pairs, band exchange at cluster scale = 24B x docs x bands (ids only)",""" +
       s""""quadratic_baseline":{"docs":[2000,6000],""" +
       s""""scored_pairs":[${2000L * 1999 / 2},${6000L * 5999 / 2}],""" +
