@@ -119,8 +119,11 @@ object Bench {
     var preOk = n == n4 // single-level smoke runs have nothing to scale
     while (!preOk && preAttempts.size < preTries) {
       if (preAttempts.nonEmpty) Thread.sleep(preSleepSec * 1000L)
+      // NonFatal only: a fatal JVM error (OOM, interrupt) in the control
+      // loop must fail the bench fast, not be swallowed into ~14 min of
+      // retry sleeps (ADVICE r5)
       val e = try Controls.controlEff(n, n4, membw = false)
-        catch { case _: Throwable => -1.0 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
       preAttempts += e
       println(f"[bench] precheck ${preAttempts.size}/$preTries: " +
         f"cpu_eff=$e%.3f (bar $preBar)")
@@ -376,7 +379,13 @@ object Bench {
         s""""ann":$annJson,""" +
         s""""dedup_scaling":$ddJson,""" +
         s""""total_query_sec":${f"${queryTimes.map(_._2).sum}%.1f"}}"""
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    // timestamped default so a driver/bench run never dirties a committed
+    // run-of-record file in place (VERDICT r5 #7); sessions worth keeping
+    // are renamed/committed deliberately
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT",
+      "BENCH_DETAIL_" + java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd-HHmmss")) + ".json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), detail + "\n")
     catch { case e: Throwable =>

@@ -64,8 +64,9 @@ object DedupBench {
       .select(docTextUdf(col("doc_id")).as("text"))
 
   /** Total shuffle-write bytes across all stages run inside `f`. Listener
-    * delivery is async; the post-action sleep lets the bus drain (a bench
-    * tolerance, not a correctness mechanism). */
+    * delivery is async; the bus is drained DETERMINISTICALLY before the
+    * tally is read (a fixed sleep can silently undercount on a loaded VM —
+    * ADVICE r5), via the package bridge to the private listener bus. */
   private def withShuffleBytes[T](s: SparkSession)(f: => T): (T, Long) = {
     val tally = new AtomicLong(0L)
     val l = new SparkListener {
@@ -76,7 +77,8 @@ object DedupBench {
     s.sparkContext.addSparkListener(l)
     try {
       val r = f
-      Thread.sleep(2000)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilEmpty(s.sparkContext, 60000L)
       (r, tally.get())
     } finally s.sparkContext.removeSparkListener(l)
   }

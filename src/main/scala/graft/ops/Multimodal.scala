@@ -178,6 +178,10 @@ object Multimodal {
       var lumaSum = 0.0
       var f = 0
       while (f < nFrames) {
+        // a container truncated mid-record must fail with the same
+        // IllegalArgumentException family as every other corruption —
+        // never a BufferUnderflowException out of getInt (ADVICE r5)
+        require(buf.remaining >= 4, "corrupt GVID frame length")
         val len = buf.getInt()
         require(len > 0 && len <= buf.remaining, "corrupt GVID frame length")
         val frame = new Array[Byte](len)
@@ -187,6 +191,8 @@ object Multimodal {
         lumaSum += luma
         f += 1
       }
+      require(buf.remaining == 0,
+        s"corrupt GVID container: ${buf.remaining} trailing bytes after frame $nFrames")
       (nFrames, lumaSum / nFrames)
     }
   }

@@ -322,7 +322,12 @@ object CrawlRound {
           agg(col("url_hash")).as("b")).collect()(0)
         (if (row.isNullAt(1)) None else Some(row.getAs[Array[Byte]](1)),
           Future.successful(row.getLong(0)))
-      } else (None, Future(selectedP.count()))
+      } else (None,
+        // no-manifest fallback already paid an exact serial count for the
+        // gate — reuse it instead of a second (cached, but still a job)
+        // count in the concurrent future (ADVICE r5)
+        if (headBound < 0) Future.successful(gateCount)
+        else Future(selectedP.count()))
     val hits = fetchJoin(pagesPruned,
       selectedP.select("host_bucket", "url", "url_hash", "host",
         "host_hash", "depth", "priority"),

@@ -270,6 +270,18 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.VideoCodec.decode("nope".getBytes("US-ASCII"))
     }
+    // truncated mid-record (header promises 2 frames, bytes end after 1):
+    // same exception family as every other corruption — never a
+    // BufferUnderflowException out of the length read (ADVICE r5)
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.decode(
+        java.util.Arrays.copyOf(vb.array(), 16 + 4 + frames.head.length))
+    }
+    // trailing garbage after the last frame is a corrupt container too
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.decode(
+        java.util.Arrays.copyOf(vb.array(), vb.array().length + 3))
+    }
   }
 
   test("text ops: column functions match pure expectations") {

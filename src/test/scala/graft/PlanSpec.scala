@@ -202,9 +202,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n > 0)
     val plan = planOf(out)
     // hash-join build side (when a hash join is chosen) is the matched
-    // set — BuildRight; never the burst side
-    assert(!plan.contains("BuildLeft"), plan.take(3000))
-    assert(plan.contains("LeftAnti, BuildRight"), plan.take(3000))
+    // set — BuildRight; never the burst side. Scope the assertion to the
+    // anti-join node's OWN line, not the whole plan string: other nodes'
+    // build sides may legitimately change across Spark/AQE estimate
+    // changes without the confirm shape being wrong (ADVICE r5).
+    val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, plan.take(3000))
+    antiLines.foreach { l =>
+      assert(l.contains("BuildRight") && !l.contains("BuildLeft"), l)
+    }
     // and the raw seen table still never enters an exchange: the only
     // allowed exchanges move suspects (O(delta)) or matchedSeen (O(matches))
     assert(plan.contains("graft_bloom_might_contain"), plan.take(3000))
