@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object AnnBench {
 
   final case class Point(planes: Int, tables: Int, recall: Double,
-                         candidateFrac: Double, secLsh: Double)
+                         candidateFrac: Double, scoredFrac: Double,
+                         secLsh: Double)
 
   def measure(spark: SparkSession, sfDir: String, k: Int,
               nQueries: Int, planes: Int, tables: Int): Point =
@@ -43,14 +44,20 @@ object AnnBench {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val secLsh = (System.nanoTime() - t0) / 1e9
 
-    // candidate pairs the bucket join admits (pre-dedup scored rows) —
-    // the structural cost vs brute force's |Q| × (|C|-1) scored pairs
+    // candidate pairs the bucket join ADMITS (pre-dedup row traffic) and
+    // the DISTINCT pairs actually scored (cosine evaluations after the
+    // pre-score dedup — since r6 lshTopK distincts ids BEFORE the cosine,
+    // so a pair co-hitting in many of the L tables is scored once) — both
+    // vs brute force's |Q| × (|C|-1) scored pairs
     val candidates = Similarity.lshCandidates(emb, queries,
+      "embedding", "vec_id", planes, tables)
+    val scoredPairs = Similarity.lshScoredPairs(emb, queries,
       "embedding", "vec_id", planes, tables)
     val bruteCost = brute.map(_._1).size.toLong * (n - 1)
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     emb.unpersist()
-    Point(planes, tables, recall, candidates.toDouble / bruteCost, secLsh)
+    Point(planes, tables, recall, candidates.toDouble / bruteCost,
+      scoredPairs.toDouble / bruteCost, secLsh)
   }
 
   // ---- clustered-regime corpus (deterministic, no external data) ----------
@@ -101,7 +108,8 @@ object AnnBench {
     s"""{"n":${m * nClusters},"dim":$dim,"cluster_size":$m,""" +
       s""""sibling_cos":0.90,"planes":$planes,"tables":$tables,""" +
       s""""recall_at_$k":${f"${p.recall}%.3f"},""" +
-      s""""candidate_frac_vs_brute":${f"${p.candidateFrac}%.4f"}}"""
+      s""""candidate_frac_vs_brute":${f"${p.candidateFrac}%.4f"},""" +
+      s""""scored_frac_vs_brute":${f"${p.scoredFrac}%.4f"}}"""
   }
 
   /** One JSON block for the bench: the tuned default point + the brute
@@ -123,6 +131,7 @@ object AnnBench {
         s""""brute_rows":$nBrute,"planes":${p.planes},"tables":${p.tables},""" +
         s""""recall_at_$k":${f"${p.recall}%.3f"},""" +
         s""""candidate_frac_vs_brute":${f"${p.candidateFrac}%.4f"},""" +
+        s""""scored_frac_vs_brute":${f"${p.scoredFrac}%.4f"},""" +
         s""""lsh_sec":${f"${p.secLsh}%.2f"},""" +
         s""""note":"near-isotropic corpus (neighbor cos ~0.35): recall>=0.9 costs frac>=1 here; brute is the right operator at this geometry+scale"}"""
     s"""{"real":$real,"clustered":${clusteredJson(spark)}}"""
@@ -149,7 +158,7 @@ object AnnBench {
         val p = measure(spark, sfDir, k = 10, nQueries = 50, planes, tables)
         println(f"[ann] planes=$planes%2d tables=$tables%2d " +
           f"recall=${p.recall}%.3f cand_frac=${p.candidateFrac}%.4f " +
-          f"sec=${p.secLsh}%.1f")
+          f"scored_frac=${p.scoredFrac}%.4f sec=${p.secLsh}%.1f")
       }
     } else println(json(spark, sfDir))
     spark.stop()

@@ -92,7 +92,17 @@ object Similarity {
     * standard recall amplifier: P(candidate) = 1-(1-p^planes)^tables).
     * Cosine is evaluated only on in-bucket candidates; the corpus is
     * exploded L× on a long bucket key — at scale this is the IVF-style
-    * tradeoff: L× storage/shuffle for recall, never O(n²) pairs. */
+    * tradeoff: L× storage/shuffle for recall, never O(n²) pairs.
+    *
+    * Shuffle/compute profile (the 100 TB story, same late-materialization
+    * shape as [[Dedup.minHashLsh]]): the bucket join carries ONLY
+    * (bucket, id) longs — never the vectors — and candidate pairs are
+    * DISTINCT'd before any cosine, so a pair co-hitting in many of the L
+    * tables is scored exactly once (the r5 shape paid the cosine UDF per
+    * co-hit, up to L× per pair, and dragged both vectors through the
+    * exploded join). Vectors re-join once per side afterwards: the query
+    * side broadcasts, the corpus side is one hash join keyed on id over
+    * O(candidates) rows. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, numPlanes: Int = DefaultPlanes,
               numTables: Int = DefaultTables): DataFrame = {
@@ -100,14 +110,19 @@ object Similarity {
       tableBuckets(v.toArray, numPlanes, numTables))
     val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
       cosine(x.toArray, y.toArray))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", explode(bucketsUdf(col("cv"))))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(bucketsUdf(col("qv"))))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val cVec = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = cVec.withColumn("bucket", explode(bucketsUdf(col("cv"))))
+      .select(col("bucket"), col("corpus_id"))
+    val q = qVec.withColumn("bucket", explode(bucketsUdf(col("qv"))))
+      .select(col("bucket"), col("query_id"))
+    val candidates = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id")).distinct()
+    val scored = candidates
+      .join(broadcast(qVec), Seq("query_id"))
+      .join(cVec, Seq("corpus_id"))
       .withColumn("cos", cosUdf(col("qv"), col("cv")))
-      .select(col("query_id"), col("corpus_id"), col("cos")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -128,6 +143,23 @@ object Similarity {
       .withColumn("bucket", explode(bucketsUdf(col("qv")))).drop("qv")
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .count()
+  }
+
+  /** DISTINCT candidate pairs — the cosine evaluations [[lshTopK]] pays
+    * after the pre-score dedup (vs [[lshCandidates]]'s raw bucket-join
+    * admissions, which bound the join's row traffic). */
+  def lshScoredPairs(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, numPlanes: Int, numTables: Int): Long = {
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      tableBuckets(v.toArray, numPlanes, numTables))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", explode(bucketsUdf(col("cv")))).drop("cv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(bucketsUdf(col("qv")))).drop("qv")
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id")).distinct()
       .count()
   }
 }

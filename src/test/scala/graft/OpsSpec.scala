@@ -52,6 +52,18 @@ class OpsSpec extends AnyFunSuite {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chained = Dedup.dupClusters(chain).collect()
     assert(chained.length == 10 && chained.forall(_.getLong(1) == 0L))
+    // diameter far past the r5 iteration cap (32): pointer jumping makes
+    // convergence O(log diameter), so a 200-long chain closes within the
+    // DEFAULT maxIters instead of crashing (VERDICT r5 #6)
+    val longChain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val longGot = Dedup.dupClusters(longChain).collect()
+    assert(longGot.length == 201 && longGot.forall(_.getLong(1) == 0L))
+    // an unreachable cap still fails LOUDLY (maxIters=1 cannot even
+    // witness a fixpoint), never silently returns partial components
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, maxIters = 1)
+    }
+    assert(err.getMessage.contains("did not converge"))
     // empty pair set → empty clustering, no error
     assert(Dedup.dupClusters(pairs.limit(0)).count() == 0)
     // composes with minHashLsh: every planted near-dup doc lands in its
