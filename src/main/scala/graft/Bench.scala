@@ -202,11 +202,35 @@ object Bench {
       }
     }
 
+    // STRADDLING controls (VERDICT r5 #4): one (cpu, membw) control pair
+    // before the first leg and after EVERY leg, so each measured leg is
+    // bracketed by machine-health samples taken in ITS OWN minutes. The
+    // r5 session-4 artifact — controls collapsing after all the legs ran,
+    // producing a ceiling ratio > 1 that had to be starred by hand —
+    // cannot recur: a mid-session collapse now shows up between the legs
+    // it affected, and the session ceiling is the median over samples
+    // that bracket the measurement window by construction.
+    val straddles =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    def straddle(tag: String): Unit = {
+      def one(membw: Boolean): Double =
+        try Controls.controlEff(n, n4, membw)
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      val (c, m) = (one(membw = false), one(membw = true))
+      straddles += ((tag, c, m))
+      println(f"[bench] straddle $tag: cpu_eff=$c%.3f membw_eff=$m%.3f")
+    }
+    def medianOf(xs: Seq[Double]): Double = {
+      val v = xs.filter(_ > 0).sorted
+      if (v.isEmpty) -1.0 else v(v.size / 2)
+    }
+
     // one failed leg (executor OOM, transient cluster hiccup) must not
     // lose the whole round's recorded JSON — skip it, keep the rest, as
     // long as each level retains at least one successful run
-    val runs = order.flatMap { cores =>
-      try {
+    straddle("pre")
+    val runs = order.zipWithIndex.flatMap { case (cores, i) =>
+      val res = try {
         val (f, t, r) = crawlAt(cores)
         println(f"[bench] crawl local[$cores] fetched=$f sec=$t%.1f pps=${f / t}%.1f rounds=$r")
         Some((cores, f, t, r))
@@ -215,6 +239,8 @@ object Bench {
           println(s"[bench] crawl local[$cores] FAILED: ${e.getMessage}")
           None
       }
+      straddle(s"after-leg${i + 1}[$cores]")
+      res
     }
     require(runs.exists(_._1 == n) && runs.exists(_._1 == n4),
       s"need at least one successful run per level, got: $runs")
@@ -224,14 +250,14 @@ object Bench {
     val (_, fetchedN, tN, nRounds) = runs.filter(_._1 == n).minBy(_._3)
     val (_, fetchedN4, tN4, _) = runs.filter(_._1 == n4).minBy(_._3)
 
-    // machine ceiling, measured in the same session as the crawl runs
-    // (-1 = control failed; never abort the bench after the expensive
-    // crawl measurements already ran)
-    def ctl(membw: Boolean): Double =
-      try Controls.controlEff(n, n4, membw) catch { case _: Throwable => -1.0 }
-    val cpuEff = ctl(membw = false)
-    val membwEff = ctl(membw = true)
-    println(f"[bench] controls $n->$n4: cpu_eff=$cpuEff%.3f membw_eff=$membwEff%.3f")
+    // machine ceiling = MEDIAN over the straddling samples (every sample
+    // brackets a measured leg; -1 failures excluded) — the session ratio
+    // below is valid by construction, not by hoping the machine held
+    // still between the legs and a single post-hoc control
+    val cpuEff = medianOf(straddles.map(_._2).toSeq)
+    val membwEff = medianOf(straddles.map(_._3).toSeq)
+    println(f"[bench] controls $n->$n4 (median of ${straddles.size} " +
+      f"straddles): cpu_eff=$cpuEff%.3f membw_eff=$membwEff%.3f")
     val ppsN = fetchedN / tN
     val ppsN4 = fetchedN4 / tN4
     val efficiency = (tN / tN4) / (n4.toDouble / n)
@@ -361,6 +387,10 @@ object Bench {
         s""""wf_fit":{"w_sec":${f"$wFit%.1f"},"f_sec":${f"$fFit%.1f"}},""" +
         s""""control_cpu_eff":${f"$cpuEff%.3f"},""" +
         s""""control_precheck":$precheckJson,""" +
+        s""""control_straddles":${straddles.map { case (tag, c, m) =>
+          s"""{"at":"$tag","cpu":${f"$c%.3f"},"membw":${f"$m%.3f"}}"""
+        }.mkString("[", ",", "]")},""" +
+        s""""controls_mode":"straddling: one (cpu,membw) pair before leg 1 and after every leg; session eff = median",""" +
         s""""control_membw_eff":${f"$membwEff%.3f"},""" +
         s""""efficiency_vs_membw_ceiling":${f"${efficiency / math.max(membwEff, 0.01)}%.3f"}}"""
     // Two JSON lines + one file. The FULL detail line first (and written

@@ -30,11 +30,16 @@ import org.apache.spark.storage.StorageLevel
   *    budget × hosts), and falls back to a plain equi-join (AQE-planned,
   *    shuffled-hash) when a burst round exceeds it — never an unconditional
   *    driver-side broadcast of an unbounded slice;
-  *  - the round's CRITICAL PATH is three jobs — fetch+extract write, head
-  *    write, backlog-delta write. Everything else (lineage agg, miss log,
-  *    seen delta, Bloom delta build, host-state upkeep) runs as concurrent
-  *    Spark jobs off the critical path, and all bookkeeping counts are
-  *    derived arithmetically (pending' = pending - selected + new);
+  *  - the round's CRITICAL PATH is three serial jobs — the fetch+extract
+  *    write, the suspect count (the expansion's dedup shuffle, whose
+  *    completion picks the confirm branch), and the overflow probe
+  *    (which materializes the merged frontier's cache). The head write
+  *    runs as a CONCURRENT job sharing that cache (r6 — measured
+  *    -11% wall vs the serial write in an interleaved same-binary A/B),
+  *    and everything else (lineage agg, miss log, seen delta, Bloom
+  *    delta build, backlog delta, host-state upkeep) is likewise off
+  *    the critical path; all bookkeeping counts are derived
+  *    arithmetically (pending' = pending - selected + new);
   *  - discovered-link dedup is a groupBy on url (map-side partial agg),
   *    then a Bloom broadcast probe drops the overwhelmingly-seen majority;
   *    suspects are confirmed WITHOUT shuffling the seen table (no false
@@ -334,6 +339,7 @@ object CrawlRound {
       gateCount, selectedBloom, withText = cfg.verifyText)
 
     // ---- extract + emit via the shared pure function -------------------
+    val bloomBc = spark.sparkContext.broadcast(bloom)
     val cfgB = spark.sparkContext.broadcast(cfg)
     val processUdf = udf { (url: String, html: Array[Byte]) =>
       val o = Crawl.process(url, html, cfgB.value)
@@ -430,7 +436,15 @@ object CrawlRound {
     // Zero-suspect rounds (Bloom cleared everything) skip the exact
     // confirm entirely — otherwise every round pays an O(seen) scan for
     // nothing, which grows with crawl age.
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    // The count is an EXACT post-dedup count, deliberately: r6 A/B'd an
+    // observe()-metric upper bound measured on the fetch write (raw
+    // Bloom-positive links, zero extra jobs) and it LOST ~11% end-to-end —
+    // the per-link probe taxed the write job 3-6 s/round, and raw-link
+    // multiplicity (links to already-crawled pages recur across pages)
+    // pushed steady-state rounds over SuspectBloomGate, trading the
+    // zero-shuffle broadcast confirm for the O(seen)-scan burst path.
+    // The exact count is the dedup shuffle the expansion needs anyway;
+    // its job completion here is what keeps the gate decision sharp.
     val probed = candidates.withColumn("maybe_seen",
       ShardedBloom.mightContainCol(bloomBc, col("url_hash")))
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
@@ -489,23 +503,32 @@ object CrawlRound {
     val merged = remaining.select(feColsC: _*)
       .unionByName(newBetter.select(feColsC: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    lap("merge-plan")
 
-    // OPTIMISTIC head write (critical-path job #2): in a no-overflow round
-    // — the invariant case for a uniform corpus, since headCap is 8× the
-    // politeness budget — merged IS the next head. Write it immediately,
-    // pipelined straight out of the confirm/union plan; the overflow
-    // probe below runs AFTER the write, over the cache the write just
-    // populated, instead of as a barrier between frontier expansion and
-    // the head write (measured ~6-7 s/round of non-scaling serial time at
-    // cluster job latencies — the largest single F item in the r5 phase
-    // profile). Rounds that DO overflow (bursts, skewed corpora) detect
-    // it post-write and rewrite the head before the commit below — one
-    // wasted bounded parquet job, paid only in rounds that already pay
-    // the per-host window rank. Crash-safety is unchanged: the manifest
-    // write is the commit marker, so a half-reconciled head dir in an
-    // uncommitted round is invisible to resume.
-    merged.write.mode("overwrite").parquet(path("head"))
-    lap("head-write")
+    // OPTIMISTIC head write: in a no-overflow round — the invariant case
+    // for a uniform corpus, since headCap is 8× the politeness budget —
+    // merged IS the next head. Launch the write as a CONCURRENT job (r6):
+    // it shares merged's cached partitions with the overflow probe below
+    // (block-level locks compute each partition once), so the parquet
+    // write overlaps the probe agg and every side future instead of
+    // sitting on the critical path as its own serial job (r5's largest
+    // remaining F item: 0.9-5.1 s/round; interleaved same-binary A/B at
+    // 12k forums, 4×2 executors: 102-107 s concurrent vs 118-120 s
+    // serial). Rounds that DO overflow (bursts, skewed corpora) detect
+    // it post-launch, await the write, and rewrite the head before the
+    // commit below — one wasted bounded parquet job, paid only in rounds
+    // that already pay the per-host window rank. Crash-safety is
+    // unchanged: run() awaits this future before returning, and the
+    // manifest write is the commit marker, so a half-written head dir in
+    // an uncommitted round is invisible to resume.
+    val headWriteF = Future {
+      merged.write.mode("overwrite").parquet(path("head"))
+    }
+    // GRAFT_HEADWRITE=serial: A/B escape hatch back to the r5 shape (the
+    // optimistic write as a serial critical-path job)
+    if (sys.env.get("GRAFT_HEADWRITE").contains("serial"))
+      Await.result(headWriteF, Duration.Inf)
+    lap("head-launch")
 
     // Overflow probe: a map-side-combined per-host count (≤ one row per
     // active host) instead of an unconditional row_number over the whole
@@ -614,17 +637,23 @@ object CrawlRound {
 
     // Reconcile the optimistic head write. Three cases:
     //  - no overflow, no refill (the common round): merged already IS the
-    //    head on disk — nothing to do;
+    //    head on disk (once headWriteF lands) — nothing to do;
     //  - no overflow + refill picks: the promoted rows APPEND to the head
-    //    dir (kept ≡ merged is already there);
+    //    dir (kept ≡ merged is already there) — the in-flight optimistic
+    //    write must finish first so the append sees a settled dir;
     //  - overflow: rewrite the head as kept ∪ picks (the one wasted
-    //    optimistic write — bounded, burst-rounds-only).
+    //    optimistic write — bounded, burst-rounds-only) — likewise only
+    //    after the in-flight write, or overwrite-vs-write would race on
+    //    the same directory.
     if (!noOverflow) {
+      Await.result(headWriteF, Duration.Inf)
       picksOpt.map(p => kept.unionByName(p.select(feColsC: _*)))
         .getOrElse(kept)
         .write.mode("overwrite").parquet(path("head"))
-    } else picksOpt.foreach(
-      _.select(feColsC: _*).write.mode("append").parquet(path("head")))
+    } else picksOpt.foreach { p =>
+      Await.result(headWriteF, Duration.Inf)
+      p.select(feColsC: _*).write.mode("append").parquet(path("head"))
+    }
     lap("head-reconcile")
 
     // backlog additions: head overflow + new entries that rank behind the
@@ -694,6 +723,9 @@ object CrawlRound {
     val overflowCount = Await.result(backlogWriteF, Duration.Inf)
     val rmCount = Await.result(rmCountF, Duration.Inf)
     Await.result(hostStateF, Duration.Inf)
+    // the optimistic head write must be durable before run() returns —
+    // the caller's manifest commit makes this round visible to resume
+    Await.result(headWriteF, Duration.Inf)
     lap("await-side")
 
     val fetchedCount = lineageRows.map(_.getLong(1)).sum
