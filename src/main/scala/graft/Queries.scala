@@ -730,7 +730,120 @@ object Queries {
          |               c.vec_id) AS rank
          |  FROM embeddings q JOIN emb2 c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10)
-         |WHERE rank = 1""".stripMargin))
+         |WHERE rank = 1""".stripMargin)),
+
+    // THE FLAGSHIP COMPOSITION: one end-to-end training-data pipeline —
+    // raw docs (∪ planted exact + near-dup copies) → quality gate →
+    // exact dedup → MinHash-LSH near-dup pairs → duplicate-cluster
+    // closure survivors → 13-gram test-set decontamination → the clean
+    // corpus. Proves the ops family COMPOSES (what a real 100 TB
+    // pipeline does with it); the oracle composes the per-op DuckDB SQL
+    // the same way, so the whole chain faces one independent answer.
+    // The quality gate here is the subset of the Gopher conjunction that
+    // discriminates on this corpus (word count + stopword floor — the
+    // synthetic docs carry no sentence punctuation, so the full
+    // conjunction, exercised by q_text_gopher_c4, keeps nothing).
+    // Pipeline shuffle story at 100 TB: gate is codegen'd column algebra
+    // on the scan; exact dedup one hash shuffle; LSH band shuffle is
+    // ids-only; closure shuffles (id,label) longs; decon broadcasts the
+    // benchmark grams — the corpus text itself is shuffled exactly once
+    // (the exact-dedup groupBy).
+    "q_pipeline_end_to_end" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val nearCopies = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        val exactCopies = base
+          .filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        val pipe = base.unionByName(nearCopies).unionByName(exactCopies)
+        val gated = pipe
+          .withColumn("n_words", TextOps.wsTokenCount(col("text")))
+          .withColumn("n_stop", TextOps.stopwordCount(col("text")))
+          .filter(col("n_words").between(50, 100000) && col("n_stop") >= 2)
+          .select(col("doc_id"), col("text"))
+        // exact dedup keeping the min-id representative per content hash
+        val wDup = Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))
+        val keepers = gated.withColumn("rn", row_number().over(wDup))
+          .filter(col("rn") === 1).drop("rn")
+          .persist()
+        val pairs = Dedup.minHashLsh(keepers, "text", "doc_id",
+          numHashes = 16, bands = 8, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        val clusters = Dedup.dupClusters(pairs)
+        val nearSurv = keepers.join(clusters, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val bench = base.filter(col("doc_id") < 5).select(col("text"))
+        val contaminated = Dedup
+          .decontaminate(nearSurv, "text", "doc_id", bench, "text")
+          .select(col("doc_id"))
+        nearSurv.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("content_md5"))
+      },
+      s"""WITH RECURSIVE pipe AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         substr(text, strpos(text, ' ') + 1) AS text
+         |  FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text
+         |  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+         |), gated AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_words,
+         |      len(list_filter(string_split(lower(text), ' '),
+         |          x -> x IN ('the','a','of','to','and','is','in','的','了','是'))) AS n_stop
+         |    FROM pipe)
+         |  WHERE n_words BETWEEN 50 AND 100000 AND n_stop >= 2
+         |), keepers AS (
+         |  SELECT min(doc_id) AS doc_id, arbitrary(text) AS text
+         |  FROM gated GROUP BY md5(text)
+         |), ${shinglesSql("keepers")},
+         |pairs AS (${jaccardPairsSql(0.5).replace("id_a, id_b, jaccard", "id_a, id_b")}),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), walk(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+         |), nearsurv AS (
+         |  SELECT k.doc_id, k.text FROM keepers k
+         |  LEFT JOIN clusters c USING (doc_id)
+         |  WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+         |), btok AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents WHERE doc_id < 5
+         |), bgrams AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 11),
+         |                i -> array_to_string(toks[i:i+12], ' '))
+         |    END)) AS g
+         |  FROM btok
+         |), sgrams AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 11),
+         |                i -> array_to_string(toks[i:i+12], ' '))
+         |    END)) AS g
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |        FROM nearsurv)
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sgrams JOIN bgrams USING (g)
+         |)
+         |SELECT doc_id, md5(text) AS content_md5
+         |FROM nearsurv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin))
   )
 
   // ======================================================================
