@@ -134,6 +134,9 @@ def main(sf_dir, out_dir):
         "q_text_fingerprint": pd.DataFrame(
             gr.fingerprints(zip(docs["doc_id"], docs["text"])),
             columns=["doc_id", "fp"]),
+        "q_dedup_simhash": pd.DataFrame(
+            gr.simhash_pairs(zip(docs["doc_id"], docs["text"])),
+            columns=["id_a", "id_b", "hamming"]),
     }
     for name, rec in recomputed.items():
         if name not in oracle:

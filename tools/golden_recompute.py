@@ -151,3 +151,51 @@ def fingerprints(docs):
     """(doc_id, fp) rows for doc_id < 40 — the recompute of
     q_text_fingerprint. `docs` is an iterable of (doc_id, text)."""
     return [(int(d), rolling_fingerprint(t)) for d, t in docs if int(d) < 40]
+
+
+def simhash64(text: str) -> int:
+    """64-bit frequency-weighted SimHash over ASCII-whitespace tokens,
+    bit b set iff the weighted majority of token xxh64 hashes carries
+    bit b (ties -> 0) — mirrors ops/Dedup.scala `simHash`."""
+    counts = {}
+    for t in tokens(text):
+        counts[t] = counts.get(t, 0) + 1
+    acc = [0] * 64
+    for tok, w in counts.items():
+        h = xxh64(tok.encode("utf-8"))
+        for b in range(64):
+            if (h >> b) & 1:
+                acc[b] += w
+            else:
+                acc[b] -= w
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash_pairs(docs, max_hamming=3):
+    """(id_a, id_b, hamming) rows — the recompute of q_dedup_simhash.
+
+    Rebuilds the query's input corpus (documents plus a perturbed copy
+    doc_id+100000 with the first space-delimited word dropped, for
+    doc_id < 10 — Queries.scala `docsWithNearDups`), then filters ALL
+    pairs by Hamming distance. The engine blocks candidates on 4 16-bit
+    SimHash blocks first, but by pigeonhole every pair at distance <= 3
+    shares a block, so the blocked output equals this all-pairs filter.
+    `docs` is an iterable of (doc_id, text)."""
+    rows = [(int(d), t) for d, t in docs]
+    aug = rows + [
+        (d + 100000, t.split(" ", 1)[1] if " " in t else t)
+        for d, t in rows if d < 10]
+    sims = [(d, simhash64(t)) for d, t in aug]
+    out = []
+    for i in range(len(sims)):
+        da, sa = sims[i]
+        for j in range(i + 1, len(sims)):
+            db, sb = sims[j]
+            h = bin(sa ^ sb).count("1")
+            if h <= max_hamming:
+                out.append((min(da, db), max(da, db), h))
+    return out
