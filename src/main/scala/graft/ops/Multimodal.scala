@@ -75,6 +75,28 @@ object Multimodal {
       }
       (w, h, sum.toDouble / (w.toLong * h) / 255.0)
     }
+
+    /** Real raster resize: decode (ImageIO), scale via Graphics2D
+      * bilinear interpolation onto a fresh RGB raster, re-encode PNG.
+      * Deterministic for a given JDK raster pipeline; exact dims are
+      * the caller's contract, pixel values are the interpolator's. */
+    def resize(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      require(w2 > 0 && h2 > 0, s"bad resize target ${w2}x$h2")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val out = new java.awt.image.BufferedImage(
+        w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w2, h2, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Real audio codec over the JDK's `javax.sound.sampled` (ships in
@@ -250,6 +272,30 @@ object Multimodal {
             val (frames, luma) = VideoCodec.decode(r.payload)
             MediaFeatures(r.media_id, r.kind,
               contentHash(r.payload), frames, luma)
+        }
+      }
+    }
+  }
+
+  /** Bounded resize over image rows (audio/video rows pass through
+    * byte-identical): images whose max dimension exceeds `maxDim` are
+    * scaled to fit, aspect-preserving (min 1 px/side), through the real
+    * decode → raster scale → re-encode path. Same per-partition batch
+    * shape as [[extractFeatures]] (the mapInPandas analog): one codec
+    * context per partition, no per-row task overhead — at 100 TB the
+    * payload bytes stream through one scan, never a shuffle. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(maxDim > 0, s"bad maxDim $maxDim")
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "image" || math.max(r.width, r.height) <= maxDim) r
+        else {
+          val scale = maxDim.toDouble / math.max(r.width, r.height)
+          val w2 = math.max(1, math.round(r.width * scale).toInt)
+          val h2 = math.max(1, math.round(r.height * scale).toInt)
+          MediaRow(r.media_id, r.kind,
+            ImageCodec.resize(r.payload, w2, h2), w2, h2)
         }
       }
     }

@@ -195,6 +195,46 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("multimodal resize: real raster scale, dims bounded, passthrough byte-identical") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val before = media.collect().map(r => r.media_id -> r).toMap
+    val after = Multimodal.resizeImages(media.repartition(5), maxDim = 8)
+      .collect().sortBy(_.media_id)
+    assert(after.length == 60)
+    after.foreach { r =>
+      val orig = before(r.media_id)
+      if (orig.kind != "image" ||
+          math.max(orig.width, orig.height) <= 8) {
+        // non-image rows and already-small images pass through untouched
+        assert(r.width == orig.width && r.height == orig.height)
+        assert(java.util.Arrays.equals(r.payload, orig.payload),
+          s"passthrough row ${r.media_id} mutated")
+      } else {
+        // resized: bounded dims, aspect preserved to rounding, and the
+        // payload is a REAL decodable PNG of exactly those dims
+        assert(math.max(r.width, r.height) == 8,
+          s"row ${r.media_id}: max dim ${math.max(r.width, r.height)} != 8")
+        val expW = math.max(1, math.round(
+          orig.width * 8.0 / math.max(orig.width, orig.height)).toInt)
+        val expH = math.max(1, math.round(
+          orig.height * 8.0 / math.max(orig.width, orig.height)).toInt)
+        assert(r.width == expW && r.height == expH)
+        val (w, h, luma) = Multimodal.ImageCodec.decode(r.payload)
+        assert(w == r.width && h == r.height)
+        // bilinear downscale of hash-noise pixels preserves mean luma
+        // to sampling error (~0.29/sqrt(64) for a uniform source)
+        val (_, _, origLuma) = Multimodal.ImageCodec.decode(orig.payload)
+        assert(math.abs(luma - origLuma) < 0.2,
+          s"row ${r.media_id}: luma $luma vs original $origLuma")
+      }
+    }
+    // deterministic: same input → same bytes, partitioning-independent
+    val again = Multimodal.resizeImages(media.repartition(11), maxDim = 8)
+      .collect().sortBy(_.media_id)
+    assert(after.zip(again).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload) })
+  }
+
   test("multimodal image path is a real codec: PNG dims round-trip, luma exact") {
     val imgs = Multimodal.syntheticMedia(spark, 30).collect()
       .filter(_.kind == "image")
