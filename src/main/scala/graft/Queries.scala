@@ -881,6 +881,26 @@ object Queries {
       },
       GoldenValues.multimodal)),
 
+    // multimodal resize plumbing end-to-end under the driver gate:
+    // synthetic media → bounded raster resize (images only; audio/video
+    // byte-identical passthrough) → re-extract features from the
+    // RESIZED payloads. Integer-exact output (dims are the resize
+    // contract; counts prove the passthrough); golden-pinned like the
+    // other codec queries (no SQL engine can re-run a PNG scaler).
+    "q_multimodal_resize" -> ((
+      (s: SparkSession, dir: String) => {
+        val resized = Multimodal.resizeImages(
+          Multimodal.syntheticMedia(s, 300), maxDim = 8)
+        import s.implicits._
+        resized.map(r => (r.kind, r.width, r.height))
+          .toDF("kind", "width", "height")
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
+            max(greatest(col("width"), col("height"))).as("max_dim"))
+      },
+      GoldenValues.multimodalResize)),
+
     // sentiment buckets via the deterministic scorer UDF (F15/A3), with a
     // ⌊score·1000⌋ checksum per bucket pinning the scorer's exact values
     "q_sentiment_buckets" -> ((

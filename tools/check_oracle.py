@@ -137,6 +137,9 @@ def main(sf_dir, out_dir):
         "q_dedup_simhash": pd.DataFrame(
             gr.simhash_pairs(zip(docs["doc_id"], docs["text"])),
             columns=["id_a", "id_b", "hamming"]),
+        "q_multimodal_resize": pd.DataFrame(
+            gr.multimodal_resize(),
+            columns=["kind", "cnt", "sum_w", "sum_h", "max_dim"]),
     }
     for name, rec in recomputed.items():
         if name not in oracle:

@@ -153,6 +153,38 @@ def fingerprints(docs):
     return [(int(d), rolling_fingerprint(t)) for d, t in docs if int(d) < 40]
 
 
+def multimodal_resize(n=300, max_dim=8):
+    """(kind, cnt, sum_w, sum_h, max_dim) rows — the recompute of
+    q_multimodal_resize. The synthetic media dims are pure xxh64
+    arithmetic (ops/Multimodal.scala `syntheticMedia`) and the resize
+    target is floor(x+0.5) rounding of the aspect-preserving scale
+    (`resizeImages`), so the whole pin rederives without a JVM."""
+    agg = {}
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            kind = "image"
+            w = 4 + ((xxh64_long(i, 2) >> 4) % 13)
+            h = 4 + ((xxh64_long(i, 3) >> 4) % 13)
+            if max(w, h) > max_dim:
+                s = float(max_dim) / max(w, h)
+                w2 = max(1, math.floor(w * s + 0.5))  # Scala math.round
+                h2 = max(1, math.floor(h * s + 0.5))
+                w, h = w2, h2
+        elif k == 1:
+            kind, w, h = "audio", 8000, 1  # WavCodec.SampleRate passthrough
+        else:
+            kind = "video"
+            w = 4 + ((xxh64_long(i, 2) >> 4) % 5)
+            h = 4 + ((xxh64_long(i, 3) >> 4) % 5)
+        a = agg.setdefault(kind, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += w
+        a[2] += h
+        a[3] = max(a[3], max(w, h))
+    return [(k, v[0], v[1], v[2], v[3]) for k, v in agg.items()]
+
+
 def simhash64(text: str) -> int:
     """64-bit frequency-weighted SimHash over ASCII-whitespace tokens,
     bit b set iff the weighted majority of token xxh64 hashes carries
