@@ -780,9 +780,16 @@ object Queries {
         val contaminated = Dedup
           .decontaminate(nearSurv, "text", "doc_id", bench, "text")
           .select(col("doc_id"))
-        nearSurv.join(contaminated, Seq("doc_id"), "left_anti")
+        // materialize the final (doc_id, md5) rows eagerly so the keepers
+        // cache can be dropped HERE instead of leaking into the rest of
+        // the 49-query run (ADVICE r6); the caller's count() reads the
+        // checkpointed result
+        val out = nearSurv.join(contaminated, Seq("doc_id"), "left_anti")
           .select(col("doc_id"),
             md5(col("text").cast("binary")).as("content_md5"))
+          .localCheckpoint()
+        keepers.unpersist()
+        out
       },
       s"""WITH RECURSIVE pipe AS (
          |  SELECT doc_id, text FROM documents
@@ -891,9 +898,10 @@ object Queries {
       (s: SparkSession, dir: String) => {
         val resized = Multimodal.resizeImages(
           Multimodal.syntheticMedia(s, 300), maxDim = 8)
-        import s.implicits._
-        resized.map(r => (r.kind, r.width, r.height))
-          .toDF("kind", "width", "height")
+        // project the three metadata columns relationally: the former
+        // Dataset.map paid a second full object serde round trip (payload
+        // bytes included) just to drop columns
+        resized.toDF().select(col("kind"), col("width"), col("height"))
           .groupBy(col("kind"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
@@ -953,6 +961,25 @@ object Queries {
 
   private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
+  /** State-store/shuffle partition count for the two streaming queries —
+    * scoped to the streaming execution only (set before `start`, restored
+    * after `stop`; both queries fully execute inside the query function,
+    * so no other query sees the override). Streaming state partitioning
+    * should be sized to active keys and micro-batch volume, not to the
+    * batch session's scan width: every state partition pays a state-store
+    * commit per micro-batch, so 32 partitions × k batches of a small
+    * keyed stream is per-batch overhead, not parallelism (guide §2.2 —
+    * fewer, larger partitions). Deploy-time knob for real volumes. */
+  private def streamStateParts: Int =
+    sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8").toInt
+
+  private def withStreamShuffle[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, streamStateParts.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   // streaming: tumbling-window agg via Structured Streaming, oracle = the
   // equivalent batch aggregation (complete mode over bounded input)
   private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
@@ -972,9 +999,11 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"))
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s) {
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
   }
 
@@ -1096,9 +1125,11 @@ object Queries {
         col("_3").as("n_events"),
         timestamp_micros(col("_4")).as("session_start"),
         timestamp_micros(col("_5")).as("session_end"))
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s) {
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
   }
 

@@ -445,11 +445,18 @@ object CrawlRound {
     // zero-shuffle broadcast confirm for the O(seen)-scan burst path.
     // The exact count is the dedup shuffle the expansion needs anyway;
     // its job completion here is what keeps the gate decision sharp.
+    // The CACHE sits on `probed` (all candidates + flag), not on the
+    // suspects slice (r7): with only suspects cached, materializing
+    // `newEntries` below re-ran the ENTIRE expansion — explode, dedup
+    // shuffle, Bloom probe — a second time for the definitelyNew side
+    // (measured: the duplicate shuffle burned executor time concurrently
+    // with the overflow probe every round). One expansion pass now feeds
+    // both slices; the count below materializes the cache.
     val probed = candidates.withColumn("maybe_seen",
       ShardedBloom.mightContainCol(bloomBc, col("url_hash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     val suspects = probed.filter(col("maybe_seen")).drop("maybe_seen")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nSuspects = suspects.count()
     lap("suspects-cnt")
     val confirmedNew =
@@ -500,27 +507,36 @@ object CrawlRound {
       .filter(col("bmin").isNotNull && keyCol > col("bmin")).drop("bmin")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // merged is NOT cached in the common no-overflow round (r7): it was
+    // previously persisted so the overflow probe and the head write could
+    // share one materialization, but that put a full-row (url +
+    // parent_url strings) cache WRITE of the whole next head on the
+    // round's critical path — measured 2.5-7.3 s/round at the bench
+    // shape. Both inputs (`remaining` via the ranked cache, `newBetter`
+    // via the newEntries cache) are already cached, so the concurrent
+    // head-write job below streams the union straight from those caches,
+    // and the overflow probe aggregates host_hash-only cache scans
+    // instead of materializing full rows. Overflow rounds (burst/skew)
+    // persist merged then, where it really is consumed several times.
     val merged = remaining.select(feColsC: _*)
       .unionByName(newBetter.select(feColsC: _*))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     lap("merge-plan")
 
     // OPTIMISTIC head write: in a no-overflow round — the invariant case
     // for a uniform corpus, since headCap is 8× the politeness budget —
     // merged IS the next head. Launch the write as a CONCURRENT job (r6):
-    // it shares merged's cached partitions with the overflow probe below
-    // (block-level locks compute each partition once), so the parquet
-    // write overlaps the probe agg and every side future instead of
-    // sitting on the critical path as its own serial job (r5's largest
-    // remaining F item: 0.9-5.1 s/round; interleaved same-binary A/B at
-    // 12k forums, 4×2 executors: 102-107 s concurrent vs 118-120 s
-    // serial). Rounds that DO overflow (bursts, skewed corpora) detect
-    // it post-launch, await the write, and rewrite the head before the
-    // commit below — one wasted bounded parquet job, paid only in rounds
-    // that already pay the per-host window rank. Crash-safety is
-    // unchanged: run() awaits this future before returning, and the
-    // manifest write is the commit marker, so a half-written head dir in
-    // an uncommitted round is invisible to resume.
+    // the parquet write overlaps the probe agg and every side future
+    // instead of sitting on the critical path as its own serial job
+    // (r5's largest remaining F item: 0.9-5.1 s/round; interleaved
+    // same-binary A/B at 12k forums, 4×2 executors: 102-107 s concurrent
+    // vs 118-120 s serial). Rounds that DO overflow (bursts, skewed
+    // corpora) detect it post-launch, await the write, and rewrite the
+    // head before the commit below — one wasted bounded parquet job,
+    // paid only in rounds that already pay the per-host window rank.
+    // Crash-safety is unchanged: run() awaits this future before
+    // returning, and the manifest write is the commit marker, so a
+    // half-written head dir in an uncommitted round is invisible to
+    // resume.
     val headWriteF = Future {
       merged.write.mode("overwrite").parquet(path("head"))
     }
@@ -534,25 +550,33 @@ object CrawlRound {
     // active host) instead of an unconditional row_number over the whole
     // merged set — the common round has NO host over headCap, so merged
     // passes straight through and the O(n log n) per-host sort is skipped;
-    // only over-cap hosts' rows (burst rounds) pay the window. The counts
-    // are CACHED: the no-overflow round reuses them as the refill counts
-    // (kept ≡ merged there), saving a second head-size aggregation.
-    val mergedCounts = merged.groupBy(col("host_hash"))
+    // only over-cap hosts' rows (burst rounds) pay the window. r7: the
+    // counts aggregate the host_hash column of the two CACHED inputs
+    // (columnar cache scans prune to the one long column) — same multiset
+    // as merged, no full-row materialization. The counts are CACHED: the
+    // no-overflow round reuses them as the refill counts (kept ≡ merged
+    // there), saving a second head-size aggregation.
+    val mergedCounts = remaining.select(col("host_hash"))
+      .unionByName(newBetter.select(col("host_hash")))
+      .groupBy(col("host_hash"))
       .agg(count(lit(1)).as("n")).persist(StorageLevel.MEMORY_AND_DISK)
     val overHosts = mergedCounts.filter(col("n") > headCap)
       .select("host_hash").persist(StorageLevel.MEMORY_AND_DISK)
     var overRanked: Option[DataFrame] = None
+    var mergedP: Option[DataFrame] = None
     val noOverflow = overHosts.isEmpty
     lap("ovfl-probe")
     val (kept, overflow) =
       if (noOverflow) (merged, merged.limit(0))
       else {
+        val mp = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        mergedP = Some(mp)
         // AQE broadcasts overHosts when few hosts burst (the usual case)
-        val over = merged.join(overHosts, Seq("host_hash"), "left_semi")
+        val over = mp.join(overHosts, Seq("host_hash"), "left_semi")
           .withColumn("rn", row_number().over(w))
           .persist(StorageLevel.MEMORY_AND_DISK)
         overRanked = Some(over)
-        (merged.join(overHosts, Seq("host_hash"), "left_anti")
+        (mp.join(overHosts, Seq("host_hash"), "left_anti")
           .unionByName(over.filter(col("rn") <= headCap).drop("rn")),
           over.filter(col("rn") > headCap).drop("rn"))
       }
@@ -752,7 +776,7 @@ object CrawlRound {
       PartitionLineage(round, -1, 0L, dedupedCount, errorCount)
 
     ranked.unpersist(); selectedP.unpersist(); newEntries.unpersist()
-    suspects.unpersist(); merged.unpersist(); overHosts.unpersist()
+    probed.unpersist(); mergedP.foreach(_.unpersist()); overHosts.unpersist()
     mergedCounts.unpersist()
     overRanked.foreach(_.unpersist()); prankedP.foreach(_.unpersist())
     backlogAdd.unpersist()
