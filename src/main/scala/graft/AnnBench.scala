@@ -112,6 +112,38 @@ object AnnBench {
       s""""scored_frac_vs_brute":${f"${p.scoredFrac}%.4f"}}"""
   }
 
+  /** ANN growth curve (VERDICT r6 #4): the clustered-regime corpus at 1×
+    * and 10×, fixed 50 queries — candidates, scored pairs, recall and
+    * wall at both sizes, so the "never O(n²)" claim for similarity
+    * search is measured, not argued. With fixed queries, brute cost is
+    * linear in the corpus by definition; the LSH path's candidate and
+    * scored counts must track it near-linearly (the *_frac_vs_brute
+    * ratios staying flat IS ≤-linear growth). */
+  def scalingJson(spark: SparkSession): String = {
+    val dim = 64; val m = 11; val nQ = 50; val k = 10
+    val planes = 8; val tables = 12
+    def at(nClusters: Int): Point = {
+      val vecUdf = udf((id: Long) => clusteredVec(id / m, (id % m).toInt, dim))
+      val emb = spark.range(m.toLong * nClusters)
+        .select(col("id").as("vec_id"), vecUdf(col("id")).as("embedding"))
+      measureDf(emb, k, nQ, planes, tables)
+    }
+    val small = at(455)   //  5 005 vectors
+    val big = at(4550)    // 50 050 vectors
+    // frac ratios vs the linear brute baseline: ~1.0 = linear candidates
+    val candRatio = big.candidateFrac / small.candidateFrac
+    val scoredRatio = big.scoredFrac / small.scoredFrac
+    s"""{"n":[${m * 455},${m * 4550}],"queries":$nQ,"planes":$planes,""" +
+      s""""tables":$tables,""" +
+      s""""recall_at_$k":[${f"${small.recall}%.3f"},${f"${big.recall}%.3f"}],""" +
+      s""""candidate_frac_vs_brute":[${f"${small.candidateFrac}%.4f"},${f"${big.candidateFrac}%.4f"}],""" +
+      s""""scored_frac_vs_brute":[${f"${small.scoredFrac}%.4f"},${f"${big.scoredFrac}%.4f"}],""" +
+      s""""frac_ratio_10x":{"candidates":${f"$candRatio%.2f"},""" +
+      s""""scored":${f"$scoredRatio%.2f"}},""" +
+      s""""lsh_sec":[${f"${small.secLsh}%.1f"},${f"${big.secLsh}%.1f"}],""" +
+      s""""note":"brute cost is linear in corpus at fixed queries; flat frac = <=linear candidate growth"}"""
+  }
+
   /** One JSON block for the bench: the tuned default point + the brute
     * baseline time, on the given sf dir. */
   def json(spark: SparkSession, sfDir: String): String = {
@@ -134,7 +166,8 @@ object AnnBench {
         s""""scored_frac_vs_brute":${f"${p.scoredFrac}%.4f"},""" +
         s""""lsh_sec":${f"${p.secLsh}%.2f"},""" +
         s""""note":"near-isotropic corpus (neighbor cos ~0.35): recall>=0.9 costs frac>=1 here; brute is the right operator at this geometry+scale"}"""
-    s"""{"real":$real,"clustered":${clusteredJson(spark)}}"""
+    s"""{"real":$real,"clustered":${clusteredJson(spark)},""" +
+      s""""ann_scaling":${scalingJson(spark)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -131,6 +131,43 @@ object DedupBench {
       s""""clusters_sec":${f"${p.clustersSec}%.1f"},""" +
       s""""dup_cluster_reps":${p.dupClusters}}"""
 
+  /** SimHash growth curve (VERDICT r6 #1): candidate pairs + wall at 1×
+    * and 10× docs for BOTH block configurations — the classic 4
+    * single-block tables (the test-scale default; 2¹⁸ buckets ⇒
+    * hot-bucket all-pairs at ≥10⁸ docs by arithmetic) and the
+    * Manku-style b=6/d=3 combination tables (C(6,3)=20 tables on ~32-bit
+    * keys; the corpus-scale configuration). Confirmed pairs are REQUIRED
+    * equal across configurations at both sizes: the pigeonhole guarantee
+    * plus exact popcount verification makes the output independent of
+    * the blocking, measured here rather than argued. */
+  def simhashJson(s: SparkSession): String = {
+    def run(n: Long, blocks: Int): (Long, Long, Double) = {
+      val d = docs(s, n)
+      val t0 = System.nanoTime()
+      val confirmed = Dedup.simHashPairs(d, "text", "doc_id",
+        maxHamming = 3, numBlocks = blocks).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cand = Dedup.simHashCandidates(d, "text", "doc_id",
+        maxHamming = 3, numBlocks = blocks)
+      (confirmed, cand, sec)
+    }
+    run(2000L, 4); run(2000L, 6) // untimed warmup
+    val (c4s, k4s, t4s) = run(20000L, 4)
+    val (c4b, k4b, t4b) = run(200000L, 4)
+    val (c6s, k6s, t6s) = run(20000L, 6)
+    val (c6b, k6b, t6b) = run(200000L, 6)
+    require(c4s == c6s && c4b == c6b,
+      s"simhash output differs across block configs: $c4s/$c6s $c4b/$c6b")
+    s"""{"docs":[20000,200000],"confirmed_pairs":[$c4s,$c4b],""" +
+      s""""b4":{"candidate_pairs":[$k4s,$k4b],""" +
+      s""""candidate_ratio_10x":${f"${k4b.toDouble / k4s}%.2f"},""" +
+      s""""sec":[${f"$t4s%.1f"},${f"$t4b%.1f"}]},""" +
+      s""""b6":{"tables":20,"candidate_pairs":[$k6s,$k6b],""" +
+      s""""candidate_ratio_10x":${f"${k6b.toDouble / k6s}%.2f"},""" +
+      s""""sec":[${f"$t6s%.1f"},${f"$t6b%.1f"}]},""" +
+      s""""note":"confirmed pairs equal across blockings by construction (verified); b=6 keys ~32 bits so bucket occupancy stays corpus-controlled at 1e8+ docs"}"""
+  }
+
   /** One JSON block for the bench detail line. Runs inside the caller's
     * session (local[32] query session). */
   def json(s: SparkSession): String = {
@@ -160,6 +197,7 @@ object DedupBench {
       s""""decon_sec":${ratio(_.deconSec)},""" +
       s""""clusters_sec":${ratio(_.clustersSec)}},""" +
       s""""exchange_note":"band join broadcasts at this scale (sub-threshold build side); structural cost = candidate_pairs, band exchange at cluster scale = 24B x docs x bands (ids only)",""" +
+      s""""simhash":${simhashJson(s)},""" +
       s""""quadratic_baseline":{"docs":[2000,6000],""" +
       s""""scored_pairs":[${2000L * 1999 / 2},${6000L * 5999 / 2}],""" +
       s""""sec":[${f"$b1%.1f"},${f"$b3%.1f"}],""" +

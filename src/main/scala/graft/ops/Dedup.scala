@@ -361,6 +361,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Distinct candidate-pair count the simhash block-combination join
+    * admits (pre-verification) — the structural cost [[simHashPairs]]
+    * pays for popcount evaluation, for scaling evidence
+    * (graft.DedupBench): near-linear growth at 10× docs is the claim the
+    * b>4 combination tables exist to keep true at corpus scale. */
+  def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3, numBlocks: Int = 4): Long = {
+    require(numBlocks > maxHamming,
+      s"pigeonhole needs numBlocks ($numBlocks) > maxHamming ($maxHamming)")
+    val keysUdf = udf((sim: Long) =>
+      simHashComboKeys(sim, numBlocks, maxHamming))
+    val blocks = df.select(col(idCol).as("id"),
+      simHashUdf(col(textCol)).as("sim"))
+      .select(col("id"), explode(keysUdf(col("sim"))).as("bk"))
+      .localCheckpoint()
+    blocks.select(col("bk"), col("id").as("id_a"))
+      .join(blocks.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .count()
+  }
+
   /** Exact n-gram Jaccard over candidate pairs from a cheap length-bucket
     * blocking (the brute-force baseline for MinHash recall measurement). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,

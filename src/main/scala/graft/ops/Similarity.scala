@@ -103,22 +103,36 @@ object Similarity {
     * exploded join). Vectors re-join once per side afterwards: the query
     * side broadcasts, the corpus side is one hash join keyed on id over
     * O(candidates) rows. */
+  /** DISTINCT candidate (query_id, corpus_id) pairs the multi-table
+    * bucket join admits — the one definition shared by [[lshTopK]] and
+    * [[lshScoredPairs]], so the reported scored-pairs metric can never
+    * desynchronize from what the operator actually pays (ADVICE r6). The
+    * bucket join carries ONLY (bucket, id) longs, never the vectors. */
+  private def lshCandidatePairs(corpus: DataFrame, queries: DataFrame,
+                                vecCol: String, idCol: String,
+                                numPlanes: Int, numTables: Int): DataFrame = {
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      tableBuckets(v.toArray, numPlanes, numTables))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", explode(bucketsUdf(col("cv"))))
+      .select(col("bucket"), col("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(bucketsUdf(col("qv"))))
+      .select(col("bucket"), col("query_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id")).distinct()
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, numPlanes: Int = DefaultPlanes,
               numTables: Int = DefaultTables): DataFrame = {
-    val bucketsUdf = udf((v: Seq[Float]) =>
-      tableBuckets(v.toArray, numPlanes, numTables))
     val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
       cosine(x.toArray, y.toArray))
     val cVec = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = cVec.withColumn("bucket", explode(bucketsUdf(col("cv"))))
-      .select(col("bucket"), col("corpus_id"))
-    val q = qVec.withColumn("bucket", explode(bucketsUdf(col("qv"))))
-      .select(col("bucket"), col("query_id"))
-    val candidates = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id")).distinct()
+    val candidates = lshCandidatePairs(corpus, queries, vecCol, idCol,
+      numPlanes, numTables)
     val scored = candidates
       .join(broadcast(qVec), Seq("query_id"))
       .join(cVec, Seq("corpus_id"))
@@ -148,18 +162,10 @@ object Similarity {
 
   /** DISTINCT candidate pairs — the cosine evaluations [[lshTopK]] pays
     * after the pre-score dedup (vs [[lshCandidates]]'s raw bucket-join
-    * admissions, which bound the join's row traffic). */
+    * admissions, which bound the join's row traffic). Same pipeline
+    * object as lshTopK's candidate construction by definition. */
   def lshScoredPairs(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                     idCol: String, numPlanes: Int, numTables: Int): Long = {
-    val bucketsUdf = udf((v: Seq[Float]) =>
-      tableBuckets(v.toArray, numPlanes, numTables))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", explode(bucketsUdf(col("cv")))).drop("cv")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(bucketsUdf(col("qv")))).drop("qv")
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id")).distinct()
+                     idCol: String, numPlanes: Int, numTables: Int): Long =
+    lshCandidatePairs(corpus, queries, vecCol, idCol, numPlanes, numTables)
       .count()
-  }
 }

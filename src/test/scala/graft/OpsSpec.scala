@@ -171,6 +171,64 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("simhash block-combination tables: b=6 output identical to b=4") {
+    import spark.implicits._
+    // pigeonhole + exact verification ⇒ output independent of blocking;
+    // this is the identity the corpus-scale b=6 path rests on
+    val base = docs.select($"doc_id", $"text")
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = base.unionByName(near)
+    def rows(blocks: Int) =
+      Dedup.simHashPairs(all, "text", "doc_id", maxHamming = 3,
+        numBlocks = blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b4 = rows(4)
+    assert(b4 == rows(6) && b4 == rows(5), "blocking must not change output")
+    assert(b4.nonEmpty)
+    // kernel: every combo key set has C(b, b-d) entries
+    assert(Dedup.simHashComboKeys(123L, 6, 3).length == 20)
+    assert(Dedup.simHashComboKeys(123L, 4, 3).length == 4)
+    // hamming<=d pair shares >=1 combo key at any valid blocking: flip
+    // exactly 3 bits of a signature and check key intersection
+    val sim = Dedup.simHash("a b c d e")
+    val flipped = sim ^ (1L << 3) ^ (1L << 21) ^ (1L << 60)
+    Seq(4, 5, 6).foreach { b =>
+      val shared = Dedup.simHashComboKeys(sim, b, 3)
+        .intersect(Dedup.simHashComboKeys(flipped, b, 3))
+      assert(shared.nonEmpty, s"pigeonhole violated at b=$b")
+    }
+  }
+
+  test("embeddingNearDup maxBucket guard: dense bucket stays sub-quadratic") {
+    import spark.implicits._
+    // 5k IDENTICAL vectors: the regime no extra planes can split — every
+    // row lands in one bucket and the uncapped operator would admit
+    // ~12.5M in-bucket pairs. The capped path must emit exactly the
+    // star edges (bucket-min → member), whose dupClusters closure equals
+    // the all-pairs closure: one cluster, min-id representative.
+    val n = 5000
+    val vecUdf = udf((id: Long) => Array(1.0f, 0.5f, 0.25f, 0.125f))
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      vecUdf($"id").as("embedding"))
+    val capped = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      numPlanes = 8, threshold = 0.95, maxBucket = 100)
+    assert(capped.count() == n - 1, "star edges: one per non-rep member")
+    val cl = Dedup.dupClusters(capped.select($"id_a", $"id_b")).collect()
+    assert(cl.length == n && cl.forall(_.getLong(1) == 0L),
+      "closure over star edges = the one dense cluster, min-id rep")
+    // sub-cap buckets keep exact all-pairs semantics: mixed input where
+    // a small distinct cluster rides alongside the capped one
+    val other = spark.range(2).select(($"id" + 100000).as("vec_id"),
+      udf((id: Long) => Array(-1.0f, 2.0f, -0.5f, 1.0f)).apply($"id")
+        .as("embedding"))
+    val mixed = Dedup.embeddingNearDup(emb.unionByName(other), "embedding",
+      "vec_id", numPlanes = 8, threshold = 0.95, maxBucket = 100)
+    assert(mixed.filter($"id_a" === 100000L && $"id_b" === 100001L)
+      .count() == 1, "sub-cap bucket keeps all-pairs output")
+  }
+
   test("embedding near-dup finds planted identical vectors") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
