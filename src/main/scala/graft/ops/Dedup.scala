@@ -337,9 +337,30 @@ object Dedup {
     * a UDF here was additionally cloned into the join condition and the
     * output projection — two evaluations per pair); `numBlocks` > 4
     * switches to multi-block combination keys for corpus-scale bucket
-    * control with provably identical output. */
+    * control with provably identical output.
+    *
+    * The DEFAULT (`numBlocks = 0`) is SCALE-ADAPTIVE: one cheap
+    * column-pruned count picks b=4 below [[SimHashAutoDocs]] docs and
+    * b=6 above. Rationale (r7 DedupBench growth curve, same corpus,
+    * identical confirmed pairs at every blocking): b=4's candidate
+    * pairs grew 92.7× at 10× docs (18.8k → 1.74M between 20k and 200k
+    * docs — hot single-block buckets) while b=6 grew 9.8× (≤ linear);
+    * but at ≤ tens of thousands of docs b=4's 4 tables beat b=6's 20 on
+    * wall time. The crossover sits inside 20k–200k on the measured
+    * corpus; the threshold leans toward the safe asymptotics. */
+  val SimHashAutoDocs = 100000L
+
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, numBlocks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, numBlocks: Int = 0): DataFrame = {
+    val blocksChosen =
+      if (numBlocks > 0) numBlocks
+      else math.max(maxHamming + 1,
+        if (df.count() < SimHashAutoDocs) 4 else 6)
+    simHashPairsAt(df, textCol, idCol, maxHamming, blocksChosen)
+  }
+
+  private def simHashPairsAt(df: DataFrame, textCol: String, idCol: String,
+                             maxHamming: Int, numBlocks: Int): DataFrame = {
     require(numBlocks > maxHamming,
       s"pigeonhole needs numBlocks ($numBlocks) > maxHamming ($maxHamming)")
     val keysUdf = udf((sim: Long) =>
