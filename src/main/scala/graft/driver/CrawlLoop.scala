@@ -180,6 +180,11 @@ object CrawlLoop {
     // the resume source of truth, but steady-state rounds never re-read it
     var bloomShards: Array[Array[Byte]] = null
 
+    // previous round's suspect count — sizes the fused count+Bloom agg in
+    // burst rounds (CrawlRound r7). Session-local only: a resumed crawl's
+    // first round simply pays the old two-job path once.
+    var suspectHint = -1L
+
     while (state.pending != 0L && round <= cfg.maxRounds &&
       !Files.exists(Paths.get(warehouse, CancelMarker))) {
       val prev = round - 1
@@ -194,7 +199,8 @@ object CrawlLoop {
       // seen_delta itself; manifest below is the commit marker
       val tRound = System.nanoTime()
       val res = CrawlRound.run(spark, head, pages, seen, bloom, cfg,
-        round, warehouse, state, expectedUrls, robots)
+        round, warehouse, state, expectedUrls, robots, suspectHint)
+      suspectHint = res.suspectCount
       if (sys.env.contains("GRAFT_ROUND_LOG"))
         println(f"[round $round%3d] fetched=${res.fetchedCount}%7d " +
           f"new=${res.newCount}%7d deduped=${res.dedupedCount}%7d " +

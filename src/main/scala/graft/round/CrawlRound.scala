@@ -115,7 +115,8 @@ object CrawlRound {
   val ConfirmKey: Seq[String] = Seq("url_hash", "url_hash2")
 
   def confirmNew(seen: DataFrame, suspects: DataFrame,
-                 nSuspects: Long): DataFrame = {
+                 nSuspects: Long,
+                 prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
     val spark = suspects.sparkSession
     if (nSuspects <= SuspectBloomGate) {
       val matchedSeen = seen
@@ -123,10 +124,17 @@ object CrawlRound {
           "left_semi")
       suspects.join(broadcast(matchedSeen), ConfirmKey, "left_anti")
     } else {
-      val agg = BloomSeen.bloomBuildUdaf(math.max(nSuspects, 1L << 16),
-        fpp = 0.001)
-      val row = suspects.agg(agg(col("url_hash")).as("b")).collect()(0)
-      val bc = spark.sparkContext.broadcast(row.getAs[Array[Byte]](0))
+      // r7: burst rounds usually arrive with the suspect Bloom already
+      // built — fused into the same agg job as the suspect count, sized
+      // by the previous round's count (see run()); only a missing or
+      // undersized-beyond-guard hint pays this second pass
+      val bytes = prebuiltBloom.getOrElse {
+        val agg = BloomSeen.bloomBuildUdaf(math.max(nSuspects, 1L << 16),
+          fpp = 0.001)
+        val row = suspects.agg(agg(col("url_hash")).as("b")).collect()(0)
+        row.getAs[Array[Byte]](0)
+      }
+      val bc = spark.sparkContext.broadcast(bytes)
       val matchedSeen = seen.filter(
         BloomSeen.mightContainCol(bc, col("url_hash")))
       suspects.join(matchedSeen, ConfirmKey, "left_anti")
@@ -159,7 +167,8 @@ object CrawlRound {
                                refillCount: Long,
                                state: FrontierState,
                                deltaBloom: Option[Array[Array[Byte]]],
-                               lineage: Seq[PartitionLineage]) {
+                               lineage: Seq[PartitionLineage],
+                               suspectCount: Long = 0L) {
     def frontierCount: Long = state.pending
   }
 
@@ -241,7 +250,8 @@ object CrawlRound {
           warehouse: String,
           state: FrontierState,
           expectedUrls: Long,
-          robots: Map[String, Vector[String]] = Map.empty): RoundResult = {
+          robots: Map[String, Vector[String]] = Map.empty,
+          suspectHint: Long = -1L): RoundResult = {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -457,11 +467,31 @@ object CrawlRound {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     val suspects = probed.filter(col("maybe_seen")).drop("maybe_seen")
-    val nSuspects = suspects.count()
+    // The suspect count is the serial barrier that picks the confirm
+    // branch; burst rounds (count > SuspectBloomGate) additionally need
+    // a Bloom over the suspect hashes before the seen scan. r7: when the
+    // PREVIOUS round was a burst (suspectHint, threaded by CrawlLoop —
+    // crawls are strongly round-correlated), build that Bloom inside the
+    // SAME agg job as the count, sized by the hint — one cache-scan
+    // instead of two serial jobs. An over-capacity Bloom only degrades
+    // fpp (never false negatives), but a degraded prefilter would let
+    // too much of the seen scan into the anti join, so a count past the
+    // sizing discards the fused filter and rebuilds exactly sized (the
+    // old two-job path, paid only on a badly-wrong hint).
+    val fusedCap = math.max(suspectHint * 2, 1L << 16)
+    val (nSuspects, fusedBloom) =
+      if (suspectHint > SuspectBloomGate) {
+        val agg = BloomSeen.bloomBuildUdaf(fusedCap, fpp = 0.001)
+        val row = suspects.agg(count(lit(1)).as("c"),
+          agg(col("url_hash")).as("b")).collect()(0)
+        val n = row.getLong(0)
+        if (n > fusedCap || row.isNullAt(1)) (n, None)
+        else (n, Some(row.getAs[Array[Byte]](1)))
+      } else (suspects.count(), None)
     lap("suspects-cnt")
     val confirmedNew =
       if (nSuspects == 0) suspects
-      else confirmNew(seen, suspects, nSuspects)
+      else confirmNew(seen, suspects, nSuspects, fusedBloom)
     // url_hash2 rides along ONLY into seen_delta (the confirm pair key);
     // the frontier schema stays url_hash-only
     val feCols2 = feColsC :+ col("url_hash2")
@@ -786,6 +816,6 @@ object CrawlRound {
 
     RoundResult(selectedCount, fetchedCount, errorCount, discoveredCount,
       newCount, dedupedCount, overflowCount, rmCount, newState,
-      deltaBloom, lineage)
+      deltaBloom, lineage, suspectCount = nSuspects)
   }
 }
